@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...,
+   "throughput_pages_per_sec": ..., "synth_pages": ...}
+
+The headline metric is the full flagship pipeline (html → extract → PIP join →
+tile → agg) over a deterministic synthetic pages table of SPARK_GRAFT_BENCH_N
+rows (default 1e6) — the documents-derived tables are too small to measure
+throughput. Scaling-efficiency evidence (local[8] vs local[32], north rule)
+is produced by BENCH/scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "1000000"))
+
+
+def main() -> None:
+    from geoclimate_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app="bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # materialize the full plan
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # headline: synthetic pages pipeline throughput
+    from geoclimate_spark.plans.flagship import zone_tile_language_mix
+    from geoclimate_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, SYNTH_N, partitions=CPUS * 4)
+    t0 = time.perf_counter()
+    out = zone_tile_language_mix(pages)
+    n_groups = out.count()
+    pipeline_sec = time.perf_counter() - t0
+    timings["synth_pipeline"] = round(pipeline_sec, 3)
+    print(f"# synth_pipeline: {pipeline_sec:.2f}s, {n_groups} groups", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "flagship_pipeline_sec_synth_pages",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "synth_pages": SYNTH_N,
+        "throughput_pages_per_sec": round(SYNTH_N / pipeline_sec, 1),
+        "cpus": CPUS,
+    }
+    scaling_path = Path(__file__).parent / "BENCH" / "scaling_latest.json"
+    if scaling_path.exists():
+        result["scaling"] = json.loads(scaling_path.read_text())
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Spatial dimension layers: climate zones, tiles, raster cells.
+
+Analogues of the reference's layer fixtures (FIXTURES.md §2; reference
+`zone`/`rsu`/`grid` tables, `/root/reference/geoindicators/.../
+SpatialUnits.groovy:111,583-591`). Everything is deterministic and generated
+in-process — no external data.
+
+Two zone flavors:
+
+* :func:`climate_zones` — a global tiling of 6 latitude climate bands × 12
+  longitude sectors (72 rectangular zones). Chosen because zone membership is
+  *also* expressible as pure CASE arithmetic (:func:`zone_case_sql`), which is
+  what lets the driver's DuckDB oracle independently verify the engine's
+  generic covering + point-in-polygon machinery.
+* :func:`voronoi_zones` — seeded convex polygon zones (convex hulls of LCG
+  point clouds) exercising the real PIP path; verified by the numpy oracle in
+  pytest (non-SQL-expressible).
+
+Zones are plain Python objects on the driver (always a small broadcast-side
+dimension; the reference's zone loop `osm/WorkflowOSM.groovy:389-646` becomes
+a broadcast dimension here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import geometry, grid
+
+# Band boundaries (degrees, south → north) and names. Zone ids are
+# band_idx * 12 + sector_idx; ties on shared boundaries resolve to the LOWEST
+# zone id (reference tie-break convention, `RsuIndicators.groovy:955-957`).
+BAND_EDGES = (-90.0, -66.56, -35.0, -23.44, 23.44, 35.0, 66.56, 90.0)
+BAND_NAMES = ("s_polar", "s_temperate", "s_subtropic", "tropic",
+              "n_subtropic", "n_temperate", "n_polar")
+N_SECTORS = 12
+SECTOR_W = 30.0
+
+
+@dataclass(frozen=True)
+class Zone:
+    zone_id: int
+    zone_type: str
+    poly: np.ndarray  # (N,2) lon/lat degrees, implicitly closed
+
+    @property
+    def area(self) -> float:
+        return geometry.poly_area(self.poly)
+
+    @property
+    def bbox(self) -> tuple[float, float, float, float]:
+        return (float(self.poly[:, 0].min()), float(self.poly[:, 1].min()),
+                float(self.poly[:, 0].max()), float(self.poly[:, 1].max()))
+
+
+def climate_zones() -> list[Zone]:
+    zones = []
+    for b in range(len(BAND_NAMES)):
+        for s in range(N_SECTORS):
+            lon0 = -180.0 + s * SECTOR_W
+            poly = geometry.rect_poly(lon0, BAND_EDGES[b], lon0 + SECTOR_W, BAND_EDGES[b + 1])
+            zones.append(Zone(b * N_SECTORS + s, BAND_NAMES[b], poly))
+    return zones
+
+
+def zone_case_sql(lon_e6_sql: str, lat_e6_sql: str) -> str:
+    """ANSI-SQL zone id for a point — the DuckDB oracle for the PIP join.
+
+    `<=` on ascending thresholds reproduces the lowest-zone-id tie-break of
+    the inclusive-boundary PIP join.
+    """
+    e6 = lambda d: int(round(d * grid.LON_SCALE))
+    band = "CASE " + " ".join(
+        f"WHEN ({lat_e6_sql}) <= {e6(BAND_EDGES[b + 1])} THEN {b}"
+        for b in range(len(BAND_NAMES) - 1)) + f" ELSE {len(BAND_NAMES) - 1} END"
+    sector = "CASE " + " ".join(
+        f"WHEN ({lon_e6_sql}) <= {e6(-180.0 + (s + 1) * SECTOR_W)} THEN {s}"
+        for s in range(N_SECTORS - 1)) + f" ELSE {N_SECTORS - 1} END"
+    return f"(({band}) * {N_SECTORS} + ({sector}))"
+
+
+def zone_type_sql(zone_id_sql: str) -> str:
+    branches = " ".join(
+        f"WHEN {b} THEN '{BAND_NAMES[b]}'" for b in range(len(BAND_NAMES)))
+    return (f"CASE CAST(({zone_id_sql}) - (({zone_id_sql}) % {N_SECTORS}) AS BIGINT) / {N_SECTORS} "
+            f"{branches} ELSE NULL END")
+
+
+def voronoi_zones(n: int = 40, seed: int = 42,
+                  bbox=(-20.0, 30.0, 30.0, 60.0)) -> list[Zone]:
+    """Seeded convex zones ("Europe patch"): convex hulls of jittered point
+    clouds around LCG-placed seeds. May overlap → exercises the min-id
+    tie-break; leaves gaps → exercises unmatched pages."""
+    rng = np.random.default_rng(seed)
+    lon0, lat0, lon1, lat1 = bbox
+    zones = []
+    for i in range(n):
+        cx = rng.uniform(lon0, lon1)
+        cy = rng.uniform(lat0, lat1)
+        r = rng.uniform(0.8, 3.0)
+        pts = np.column_stack([cx + rng.normal(0, r, 12), cy + rng.normal(0, r, 12)])
+        hull = geometry.convex_hull(pts)
+        if len(hull) >= 3:
+            zones.append(Zone(i, f"vz{i % 5}", hull))
+    return zones
+
+
+def zone_covering(zones: list[Zone], res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Filter-and-refine covering: for each zone, every res-cell whose rect
+    intersects the zone polygon, flagged full (rect entirely inside → skip the
+    exact PIP refine) or partial. Returns (cell, zone_id, full) arrays.
+
+    Analogue of the reference's manual spatial indexing + ST_SUBDIVIDE
+    (`SpatialUnits.groovy:128-129`, `InputDataFormatting.groovy:204-208`):
+    the small polygon side is pre-exploded to index cells so the big side
+    joins by cell key only.
+    """
+    cells, zids, fulls = [], [], []
+    for z in zones:
+        b = z.bbox
+        cand = grid.cover_bbox_np(*b, res)
+        lo0, la0, lo1, la1 = grid.cell_bounds_np(cand)
+        for c, a0, b0, a1, b1 in zip(cand, lo0, la0, lo1, la1):
+            if not geometry.rect_intersects_polygon(a0, b0, a1, b1, z.poly):
+                continue
+            corners = geometry.rect_poly(a0, b0, a1, b1)
+            full = bool(geometry.points_in_polygon(corners[:, 0], corners[:, 1], z.poly).all())
+            # full only safe for convex zones; rect zones and hulls are convex
+            cells.append(int(c))
+            zids.append(z.zone_id)
+            fulls.append(full)
+    return (np.asarray(cells, np.int64), np.asarray(zids, np.int64),
+            np.asarray(fulls, bool))
