@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geoclimate_spark import grid
+from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
+from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
 from geoclimate_spark.plans import flagship
@@ -67,12 +69,49 @@ def _q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct(F.md5(F.col("text_extracted"))).alias("n_distinct_texts")))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+NGRAM_T, NGRAM_MAX_DF = 0.7, 20
+MINHASH_T = 0.8
+SIMHASH_MAXD = 6
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=NGRAM_T,
+                                     max_df=NGRAM_MAX_DF)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_duplicates(_docs(spark, sf_dir), threshold=MINHASH_T)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=SIMHASH_MAXD)
+
+
+def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = text_fn.text_metrics_cols(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), *[c.alias(n) for n, c in cols.items()])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_zone_tile_language_mix": _q_flagship,
         "pip_zone_assignment": _q_zone_assignment,
         "tile_assignment": _q_tile_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_metrics": _q_text_metrics,
     }
 
 
@@ -100,4 +139,13 @@ SELECT lang, COUNT(*) AS n_pages, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_cha
        COUNT(DISTINCT md5(text)) AS n_distinct_texts
 FROM pages
 GROUP BY lang""",
+        "dedup_exact": dedup.exact_duplicates_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(
+            threshold=NGRAM_T, max_df=NGRAM_MAX_DF),
+        "dedup_minhash_lsh": dedup.minhash_lsh_sql(threshold=MINHASH_T),
+        "dedup_simhash": dedup.simhash_sql(max_hamming=SIMHASH_MAXD),
+        "text_metrics": "SELECT doc_id AS id,\n  " + ",\n  ".join(
+            f"{sql} AS {name}"
+            for name, sql in text_fn.text_metrics_sql("text").items()
+        ) + "\nFROM documents",
     }

@@ -1,0 +1,300 @@
+"""Deduplication operator family over the ``documents``/``pages`` text column.
+
+Exact dedup (hash-groupBy), n-gram Jaccard near-dup (inverted shingle index),
+MinHash+LSH (shingle → seeded-minhash signature → band bucket join → exact
+Jaccard verify) and SimHash (bitwise majority → banded hamming join).
+
+Reference analogue: GeoClimate's self-spatial-joins that find "touching"
+entities and merge them (`/root/reference/geoindicators/.../
+SpatialUnits.groovy:419-426` building adjacency, `:395-475` createBlocks) —
+the same filter-and-refine shape: a cheap equi-join key (there: grid cell;
+here: LSH band bucket) prunes the O(n²) pair space, then an exact predicate
+(there: ST_INTERSECTS; here: Jaccard / hamming) verifies candidates.
+
+Every step is pure JVM-side SQL arithmetic on md5-derived 60-bit hashes
+(:mod:`geoclimate_spark.functions.hashing`), so each operator has a
+bit-identical DuckDB oracle (the ``*_sql`` builders below) — the LSH
+candidate generation itself is deterministic and oracle-checked, not just the
+final pair list.
+
+Scale design (10^12 docs):
+* shingling + seeded hashing ride the scan projection (codegen, no Python);
+* minhash signatures are one ``groupBy(doc).agg(min×P)`` — map-side partial
+  aggregation shrinks the shuffle to one row per (doc, P mins);
+* band self-join shuffles only (band_key, doc_id) pairs — never text;
+* frequent-shingle blowup in the exact-Jaccard path is capped with
+  ``max_df`` (drop shingles appearing in more than max_df docs — the
+  "stop-shingle" trick), which both engine and oracle apply identically;
+* AQE skew-join handles hot LSH buckets (near-identical boilerplate docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60_col, hash60_seeded_col, hash60_sql, hash60_seeded_sql
+from ..functions.text import normalize_col, normalize_sql
+
+K_SHINGLE = 5
+N_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+SIMHASH_BITS = 32
+# Oracle-side shingle position bound; the driver's oracle only runs at
+# sf=0.01 where max doc length is ~600. Engine side has no bound.
+_ORACLE_MAX_POS = 5000
+
+
+# ---------------------------------------------------------------- Spark path
+def shingle_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               k: int = K_SHINGLE) -> DataFrame:
+    """Distinct character k-gram shingles per doc: (id, sh). Texts shorter
+    than k contribute their whole normalized text as one shingle."""
+    t = normalize_col(F.col(text_col)).alias("_t")
+    lst = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(_t) - {k - 1}, 1)),"
+        f" i -> substring(_t, i, {k})))")
+    return (docs.select(F.col(id_col).alias("id"), t)
+            .select("id", F.explode(lst).alias("sh")))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc canonical id under exact (normalized) text equality:
+    (id, canon_id, group_size). canon = lowest id with identical md5 —
+    deterministic, mirrors the lowest-id tie-break used by the PIP join."""
+    from pyspark.sql import Window
+    fp = F.md5(normalize_col(F.col(text_col)))
+    w = Window.partitionBy("fp")
+    return (docs.select(F.col(id_col).alias("id"), fp.alias("fp"))
+            .withColumn("canon_id", F.min("id").over(w))
+            .withColumn("group_size", F.count("*").over(w).cast("long"))
+            .select("id", "canon_id", "group_size"))
+
+
+def _df_capped(sh: DataFrame, max_df: int | None) -> DataFrame:
+    if max_df is None:
+        return sh
+    hot = sh.groupBy("sh").count().where(F.col("count") > max_df).select("sh")
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = K_SHINGLE, max_df: int | None = None) -> DataFrame:
+    """Exact Jaccard near-dup pairs via the inverted shingle index:
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Integer intersection/union counts → the double division is bit-exact."""
+    sh = _df_capped(shingle_df(docs, id_col, text_col, k), max_df)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("c")))
+    return (inter
+            .join(sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
+            .withColumn("jaccard", F.col("c").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("c")).cast("double"))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = N_HASHES,
+                       k: int = K_SHINGLE) -> DataFrame:
+    """(id, mh0..mh{P-1}): minimum seeded hash over the doc's shingle set."""
+    sh = shingle_df(docs, id_col, text_col, k)
+    aggs = [F.min(hash60_seeded_col(p, F.col("sh"))).alias(f"mh{p}")
+            for p in range(n_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def _band_key_col(band: int, rows: int) -> Column:
+    parts = [F.col(f"mh{band * rows + r}").cast("string") for r in range(rows)]
+    return hash60_col(F.concat_ws("_", *parts))
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
+                        rows: int = LSH_ROWS) -> DataFrame:
+    """Distinct (id_a, id_b) sharing at least one band bucket, id_a < id_b."""
+    frames = [sig.select("id", F.lit(b).alias("band"),
+                         _band_key_col(b, rows).alias("bk")) for b in range(bands)]
+    bl = frames[0]
+    for f in frames[1:]:
+        bl = bl.unionByName(f)
+    a, b = bl.alias("a"), bl.alias("b")
+    return (a.join(b, ["band", "bk"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n_hashes: int = N_HASHES, bands: int = LSH_BANDS,
+                            rows: int = LSH_ROWS, k: int = K_SHINGLE) -> DataFrame:
+    """LSH candidates → exact-Jaccard verify: (id_a, id_b, jaccard >= t).
+    Deterministic end-to-end (md5-seeded minhash), so the whole pipeline —
+    including LSH recall behavior — is oracle-checkable."""
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
+    cand = lsh_candidate_pairs(sig, bands, rows)
+    sh = shingle_df(docs, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (cand
+             .join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+             .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+             .where(F.col("sh") == F.col("sh_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("c")))
+    return (inter
+            .join(sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
+            .withColumn("jaccard", F.col("c").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("c")).cast("double"))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = SIMHASH_BITS,
+                       k: int = K_SHINGLE) -> DataFrame:
+    """(id, simhash): per-bit majority vote over the shingle-hash set."""
+    sh = shingle_df(docs, id_col, text_col, k).withColumn("h", hash60_col(F.col("sh")))
+    votes = [F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+             for i in range(bits)]
+    agg = sh.groupBy("id").agg(*votes)
+    simhash = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        simhash = term if simhash is None else simhash + term
+    return agg.select("id", simhash.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            bits: int = SIMHASH_BITS, band_bits: int = 8,
+                            k: int = K_SHINGLE) -> DataFrame:
+    """Banded hamming join: pairs agreeing on >=1 byte-band of the simhash and
+    within max_hamming overall: (id_a, id_b, hamming)."""
+    sig = simhash_signatures(docs, id_col, text_col, bits, k)
+    nb = bits // band_bits
+    mask = (1 << band_bits) - 1
+    frames = [sig.select("id", "simhash", F.lit(b).alias("band"),
+                         F.shiftright(F.col("simhash"), b * band_bits)
+                         .bitwiseAND(F.lit(mask)).alias("bk")) for b in range(nb)]
+    bl = frames[0]
+    for f in frames[1:]:
+        bl = bl.unionByName(f)
+    a, b = bl.alias("a"), bl.alias("b")
+    return (a.join(b, ["band", "bk"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                    .cast("long").alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
+# ------------------------------------------------------------------ SQL path
+def shingle_cte_sql(doc_rel: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text", k: int = K_SHINGLE) -> str:
+    """CTE body list producing sh(id, sh) — DuckDB mirror of shingle_df."""
+    norm = normalize_sql(text_col)
+    return (
+        f"norm AS (SELECT {id_col} AS id, {norm} AS t FROM {doc_rel}),\n"
+        f"series AS (SELECT i FROM generate_series(1, {_ORACLE_MAX_POS}) g(i)),\n"
+        f"sh AS (SELECT DISTINCT id, substring(t, i, {k}) AS sh\n"
+        f"       FROM norm JOIN series ON i <= greatest(length(t) - {k - 1}, 1))"
+    )
+
+
+def exact_duplicates_sql(doc_rel: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    norm = normalize_sql(text_col)
+    return f"""
+WITH f AS (SELECT {id_col} AS id, md5({norm}) AS fp FROM {doc_rel})
+SELECT id, MIN(id) OVER (PARTITION BY fp) AS canon_id,
+       CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size
+FROM f"""
+
+
+def _jaccard_tail_sql(threshold: float, pair_src: str) -> str:
+    """Shared verify tail: sizes + intersection→jaccard filter.
+    ``pair_src`` must be a CTE named cand(id_a, id_b) or the literal
+    'from_shingles' to derive pairs directly from the shingle index."""
+    if pair_src == "from_shingles":
+        inter = ("inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c\n"
+                 "  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)")
+    else:
+        inter = ("inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS c\n"
+                 "  FROM cand c JOIN sh2 a ON a.id = c.id_a JOIN sh2 b ON b.id = c.id_b\n"
+                 "  AND a.sh = b.sh GROUP BY 1, 2)")
+    return f"""sizes AS (SELECT id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+{inter}
+SELECT i.id_a, i.id_b,
+       CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE) >= {threshold}"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.7, doc_rel: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = K_SHINGLE, max_df: int | None = None) -> str:
+    if max_df is None:
+        cap = "sh2 AS (SELECT * FROM sh)"
+    else:
+        cap = (f"hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {max_df}),\n"
+               f"sh2 AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot))")
+    return (f"WITH {shingle_cte_sql(doc_rel, id_col, text_col, k)},\n{cap},\n"
+            + _jaccard_tail_sql(threshold, "from_shingles"))
+
+
+def minhash_sig_cte_sql(n_hashes: int = N_HASHES) -> str:
+    mins = ",\n       ".join(
+        f"MIN({hash60_seeded_sql(p, 'sh')}) AS mh{p}" for p in range(n_hashes))
+    return f"sig AS (SELECT id, {mins}\n  FROM sh GROUP BY id)"
+
+
+def minhash_lsh_sql(threshold: float = 0.8, doc_rel: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_hashes: int = N_HASHES, bands: int = LSH_BANDS,
+                    rows: int = LSH_ROWS, k: int = K_SHINGLE) -> str:
+    band_selects = []
+    for b in range(bands):
+        parts = " , ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        key = hash60_sql(f"concat_ws('_', {parts})")
+        band_selects.append(f"SELECT id, {b} AS band, {key} AS bk FROM sig")
+    bl = " UNION ALL ".join(band_selects)
+    return f"""WITH {shingle_cte_sql(doc_rel, id_col, text_col, k)},
+sh2 AS (SELECT * FROM sh),
+{minhash_sig_cte_sql(n_hashes)},
+bl AS ({bl}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bl a JOIN bl b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+{_jaccard_tail_sql(threshold, "cand")}"""
+
+
+def simhash_sql(max_hamming: int = 3, doc_rel: str = "documents",
+                id_col: str = "doc_id", text_col: str = "text",
+                bits: int = SIMHASH_BITS, band_bits: int = 8,
+                k: int = K_SHINGLE) -> str:
+    h = hash60_sql("sh")
+    votes = ",\n       ".join(
+        f"SUM((({h} >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(bits))
+    simhash = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits))
+    nb = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS bk FROM sim"
+        for b in range(nb))
+    return f"""WITH {shingle_cte_sql(doc_rel, id_col, text_col, k)},
+votes AS (SELECT id, {votes}\n  FROM sh GROUP BY id),
+sim AS (SELECT id, {simhash} AS simhash FROM votes),
+bl AS ({band_selects}),
+pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bl a JOIN bl b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
