@@ -22,6 +22,8 @@ from geoclimate_spark import grid
 from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
+from geoclimate_spark.operators import distribution as dist_op
+from geoclimate_spark.operators import zonal
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
 from geoclimate_spark.plans import flagship
@@ -101,6 +103,61 @@ def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), *[c.alias(n) for n, c in cols.items()])
 
 
+LANGS = ("de", "en", "es", "fr", "zh")
+LANG_BUCKETS = {"latin": ("de", "en", "es", "fr"), "cjk": ("zh",)}
+
+
+def _zoned_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(page_id, zone_id, lon_e6, lat_e6, lang, chars) — extraction + PIP."""
+    g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
+    g = g.withColumn("chars", F.length("text_extracted").cast("long"))
+    return spatial_join_points(g, layers.climate_zones(),
+                               passthrough=["lang", "chars"])
+
+
+def _q_zonal_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.unweighted_stats(
+        _zoned_pages(spark, sf_dir), layers.zone_dim_df(spark), "zone_id", "chars")
+
+
+def _q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
+    g = (g.withColumn("chars", F.length("text_extracted").cast("long"))
+         .withColumn("n_tokens", F.size(text_fn.tokens_col(
+             text_fn.normalize_col(F.col("text_extracted")))).cast("long")))
+    rows = spatial_join_points(g, layers.climate_zones(),
+                               passthrough=["chars", "n_tokens"])
+    return zonal.weighted_stats(rows, "zone_id", "n_tokens", "chars")
+
+
+def _q_zone_lang_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.pivot_fractions(
+        _zoned_pages(spark, sf_dir), "zone_id", "lang", "chars", LANGS)
+
+
+def _q_zone_type_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.type_proportion(
+        _zoned_pages(spark, sf_dir), "zone_id", "lang", "chars", LANG_BUCKETS)
+
+
+def _q_mode_lang_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
+    g = (g.withColumn("chars", F.length("text_extracted").cast("long"))
+         .withColumn("tile_id", tile_op.tile_col(F.col("lon_e6"), F.col("lat_e6"), TILE_RES)))
+    return zonal.mode_weighted(g, "tile_id", "lang", "chars")
+
+
+def _q_direction_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zp = _zoned_pages(spark, sf_dir)
+    centers = F.broadcast(layers.zone_center_df(spark))
+    j = zp.join(centers, "zone_id")
+    binc = dist_op.octant_bin_col(
+        F.col("lon_e6") - F.col("center_lon_e6"),
+        F.col("lat_e6") - F.col("center_lat_e6"))
+    d = dist_op.direction_distribution(j, "zone_id", binc, "chars")
+    return dist_op.characterize_distribution(d, "zone_id", [f"b{i}" for i in range(8)])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_zone_tile_language_mix": _q_flagship,
@@ -112,10 +169,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "text_metrics": _q_text_metrics,
+        "zonal_unweighted_chars": _q_zonal_unweighted,
+        "zonal_weighted_tokens": _q_zonal_weighted,
+        "zone_lang_fractions": _q_zone_lang_fractions,
+        "zone_type_proportion": _q_zone_type_proportion,
+        "mode_lang_per_tile": _q_mode_lang_per_tile,
+        "direction_distribution": _q_direction_distribution,
     }
 
 
 # --------------------------------------------------------------- oracle side
+_ORACLE_NTOK = f"len(string_split({text_fn.normalize_sql('text')}, ' '))"
+
+
+def _geo_rows_sql(*extra_cols: str) -> str:
+    """Oracle-side geo rows: zone_id + requested columns from the pages CTE."""
+    zone = layers.zone_case_sql("lon_e6", "lat_e6")
+    cols = ",\n       ".join((f"CAST({zone} AS BIGINT) AS zone_id",) + extra_cols)
+    return f"{_PAGES_CTE}\nSELECT {cols}\nFROM pages WHERE lon_e6 IS NOT NULL"
+
+
 def oracle_sql() -> dict[str, str]:
     zone = layers.zone_case_sql("lon_e6", "lat_e6")
     tile = tile_op.tile_sql("lon_e6", "lat_e6", TILE_RES)
@@ -148,4 +221,32 @@ GROUP BY lang""",
             f"{sql} AS {name}"
             for name, sql in text_fn.text_metrics_sql("text").items()
         ) + "\nFROM documents",
+        "zonal_unweighted_chars": zonal.unweighted_stats_sql(
+            _geo_rows_sql("LENGTH(text) AS chars"),
+            layers.zone_dim_values_sql(), "zone_id", "chars"),
+        "zonal_weighted_tokens": zonal.weighted_stats_sql(
+            _geo_rows_sql(
+                "LENGTH(text) AS chars",
+                f"CAST({_ORACLE_NTOK} AS BIGINT) AS n_tokens"),
+            "zone_id", "n_tokens", "chars"),
+        "zone_lang_fractions": zonal.pivot_fractions_sql(
+            _geo_rows_sql("LENGTH(text) AS chars", "lang"),
+            "zone_id", "lang", "chars", LANGS),
+        "zone_type_proportion": zonal.type_proportion_sql(
+            _geo_rows_sql("LENGTH(text) AS chars", "lang"),
+            "zone_id", "lang", "chars", LANG_BUCKETS),
+        "mode_lang_per_tile": zonal.mode_weighted_sql(
+            f"""{_PAGES_CTE}
+SELECT CAST({tile} AS BIGINT) AS tile_id, lang, LENGTH(text) AS chars
+FROM pages WHERE lon_e6 IS NOT NULL""",
+            "tile_id", "lang", "chars"),
+        "direction_distribution": dist_op.characterize_distribution_sql(
+            dist_op.direction_distribution_sql(
+                f"""{_PAGES_CTE}, centers AS ({layers.zone_center_values_sql()})
+SELECT CAST({zone} AS BIGINT) AS zone_id, LENGTH(text) AS chars,
+       lon_e6 - center_lon_e6 AS dx, lat_e6 - center_lat_e6 AS dy
+FROM pages JOIN centers ON centers.zone_id = CAST({zone} AS BIGINT)
+WHERE lon_e6 IS NOT NULL""",
+                "zone_id", dist_op.octant_bin_sql("dx", "dy"), "chars"),
+            "zone_id", [f"b{i}" for i in range(8)]),
     }

@@ -88,6 +88,57 @@ def zone_type_sql(zone_id_sql: str) -> str:
             f"{branches} ELSE NULL END")
 
 
+def zone_dim_rows() -> list[tuple[int, str, float]]:
+    """(zone_id, zone_type, area_deg2) for every climate zone — the broadcast
+    dimension used by zonal stats. Areas are computed once here in Python and
+    inlined as identical double literals on both the Spark and SQL sides, so
+    density statistics divide by bit-identical denominators."""
+    rows = []
+    for z in climate_zones():
+        lo0, la0, lo1, la1 = z.bbox
+        rows.append((z.zone_id, z.zone_type, (lo1 - lo0) * (la1 - la0)))
+    return rows
+
+
+def zone_dim_df(spark):
+    return spark.createDataFrame(
+        zone_dim_rows(), "zone_id long, zone_type string, area_deg2 double")
+
+
+def zone_dim_values_sql() -> str:
+    # CAST('…' AS DOUBLE) — string→double round-trips the Python float
+    # exactly; a bare decimal literal would be parsed as DECIMAL and
+    # re-rounded differently.
+    vals = ",\n  ".join(
+        f"({zid}, '{zt}', CAST('{area!r}' AS DOUBLE))"
+        for zid, zt, area in zone_dim_rows())
+    return (f"SELECT * FROM (VALUES\n  {vals}\n)"
+            f" AS t(zone_id, zone_type, area_deg2)")
+
+
+def zone_center_rows() -> list[tuple[int, int, int]]:
+    """(zone_id, center_lon_e6, center_lat_e6) — integer microdegree zone
+    centers (exact for the rect climate zones), used by direction binning."""
+    rows = []
+    for b in range(len(BAND_NAMES)):
+        cy = int(round((BAND_EDGES[b] + BAND_EDGES[b + 1]) / 2 * grid.LON_SCALE))
+        for s in range(N_SECTORS):
+            cx = int(round((-180.0 + s * SECTOR_W + SECTOR_W / 2) * grid.LON_SCALE))
+            rows.append((b * N_SECTORS + s, cx, cy))
+    return rows
+
+
+def zone_center_df(spark):
+    return spark.createDataFrame(
+        zone_center_rows(), "zone_id long, center_lon_e6 long, center_lat_e6 long")
+
+
+def zone_center_values_sql() -> str:
+    vals = ",\n  ".join(f"({z}, {x}, {y})" for z, x, y in zone_center_rows())
+    return (f"SELECT * FROM (VALUES\n  {vals}\n)"
+            f" AS t(zone_id, center_lon_e6, center_lat_e6)")
+
+
 def voronoi_zones(n: int = 40, seed: int = 42,
                   bbox=(-20.0, 30.0, 30.0, 60.0)) -> list[Zone]:
     """Seeded convex zones ("Europe patch"): convex hulls of jittered point
