@@ -23,7 +23,7 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import zonal
+from geoclimate_spark.operators import knn, raster, similarity, zonal
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
 from geoclimate_spark.plans import flagship
@@ -158,6 +158,54 @@ def _q_direction_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist_op.characterize_distribution(d, "zone_id", [f"b{i}" for i in range(8)])
 
 
+KNN_RADIUS_E6 = 2_000_000  # 2 degrees
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+ANN_K = 5
+EMB_DUP_T = 0.4
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
+    return g.select("page_id", "lon_e6", "lat_e6")
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _geo_points(spark, sf_dir)
+    nbs = pts.select(F.col("page_id").alias("nb_id"), "lon_e6", "lat_e6")
+    return knn.nearest_neighbor(pts, nbs, KNN_RADIUS_E6)
+
+
+def _q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return raster.raster_zonal_stats(raster.raster_df(spark),
+                                     raster.zone_bounds_df(spark))
+
+
+def _q_page_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nx = 1 << (raster.RASTER_RES + 1)
+    pts = _geo_points(spark, sf_dir)
+    cell = grid.cell_col(F.col("lon_e6"), F.col("lat_e6"), raster.RASTER_RES)
+    pts = pts.withColumn(
+        "rcell_id", grid.cell_y_col(cell) * F.lit(nx) + grid.cell_x_col(cell))
+    return (raster.page_raster_enrich(pts, raster.raster_df(spark))
+            .select("page_id", "rcell_id", "value"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def _q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(_emb(spark, sf_dir), EMB_DUP_T)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_zone_tile_language_mix": _q_flagship,
@@ -175,6 +223,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_type_proportion": _q_zone_type_proportion,
         "mode_lang_per_tile": _q_mode_lang_per_tile,
         "direction_distribution": _q_direction_distribution,
+        "knn_nearest_page": _q_knn,
+        "raster_zonal_stats": _q_raster_zonal,
+        "page_raster_value": _q_page_raster,
+        "ann_topk_bruteforce": _q_ann_brute,
+        "ann_topk_lsh": _q_ann_lsh,
+        "embedding_near_dup": _q_emb_pairs,
     }
 
 
@@ -187,6 +241,19 @@ def _geo_rows_sql(*extra_cols: str) -> str:
     zone = layers.zone_case_sql("lon_e6", "lat_e6")
     cols = ",\n       ".join((f"CAST({zone} AS BIGINT) AS zone_id",) + extra_cols)
     return f"{_PAGES_CTE}\nSELECT {cols}\nFROM pages WHERE lon_e6 IS NOT NULL"
+
+
+def _page_raster_oracle_sql() -> str:
+    nx = 1 << (raster.RASTER_RES + 1)
+    cell = grid.cell_sql("lon_e6", "lat_e6", raster.RASTER_RES)
+    mask = (1 << 29) - 1
+    # unpack the packed cell id: x = (cell >> 29) & mask, y = cell & mask;
+    # raster row-major id = y*nx + x
+    rcell = f"(((({cell})) & {mask}) * {nx} + ((({cell}) >> 29) & {mask}))"
+    return f"""{_PAGES_CTE}
+SELECT page_id, CAST({rcell} AS BIGINT) AS rcell_id,
+       CAST({rcell} * 48271 + 11 AS BIGINT) % 2147483647 % 1000 AS value
+FROM pages WHERE lon_e6 IS NOT NULL"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -240,6 +307,15 @@ GROUP BY lang""",
 SELECT CAST({tile} AS BIGINT) AS tile_id, lang, LENGTH(text) AS chars
 FROM pages WHERE lon_e6 IS NOT NULL""",
             "tile_id", "lang", "chars"),
+        "knn_nearest_page": knn.nearest_neighbor_sql(
+            f"{_PAGES_CTE}\nSELECT page_id, lon_e6, lat_e6 FROM pages WHERE lon_e6 IS NOT NULL",
+            f"{_PAGES_CTE}\nSELECT page_id AS nb_id, lon_e6, lat_e6 FROM pages WHERE lon_e6 IS NOT NULL",
+            KNN_RADIUS_E6),
+        "raster_zonal_stats": raster.raster_zonal_stats_sql(),
+        "page_raster_value": _page_raster_oracle_sql(),
+        "ann_topk_bruteforce": similarity.cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
+        "ann_topk_lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
+        "embedding_near_dup": similarity.cosine_pairs_sql(EMB_DUP_T),
         "direction_distribution": dist_op.characterize_distribution_sql(
             dist_op.direction_distribution_sql(
                 f"""{_PAGES_CTE}, centers AS ({layers.zone_center_values_sql()})

@@ -1,0 +1,108 @@
+"""kNN, raster zonal stats, similarity search vs DuckDB oracles."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geoclimate_spark.operators import knn, raster, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cmp(spark_df, duck, sql, sort_cols):
+    got = spark_df.toPandas().sort_values(sort_cols).reset_index(drop=True)
+    exp = duck.sql(sql).df().sort_values(sort_cols).reset_index(drop=True)
+    got, exp = got[sorted(got.columns)], exp[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    return got
+
+
+# Synthetic points from doc_id — deterministic, clustered + sparse.
+_PTS_SQL = """
+SELECT doc_id AS page_id,
+       CAST((doc_id * 48271 + 11) % 2147483647 % 360000001 - 180000000 AS BIGINT) AS lon_e6,
+       CAST((doc_id * 16807 + 7) % 2147483647 % 140000001 - 70000000 AS BIGINT) AS lat_e6
+FROM documents"""
+
+
+def _pts(spark):
+    return (spark.read.parquet(f"{SF}/documents.parquet")
+            .select(F.col("doc_id").alias("page_id"),
+                    ((F.col("doc_id") * 48271 + 11) % 2147483647 % 360000001
+                     - 180000000).alias("lon_e6"),
+                    ((F.col("doc_id") * 16807 + 7) % 2147483647 % 140000001
+                     - 70000000).alias("lat_e6")))
+
+
+def test_nearest_neighbor_radius(spark, duck):
+    R = 30_000_000  # 30 degrees — sparse global points need a big radius
+    pts = _pts(spark)
+    nbs = pts.select(F.col("page_id").alias("nb_id"), "lon_e6", "lat_e6")
+    got = _cmp(knn.nearest_neighbor(pts, nbs, R), duck,
+               knn.nearest_neighbor_sql(
+                   _PTS_SQL, _PTS_SQL.replace("AS page_id", "AS nb_id"), R),
+               ["page_id"])
+    assert len(got) == pts.count()
+    found = got[got.nn_id >= 0]
+    assert len(found) > 0
+    assert (found.nn_dist <= R).all()
+    assert (got[got.nn_id < 0].n_within == 0).all()
+
+
+def test_pick_res_for_radius():
+    for r_e6, want in ((2_000_000, 6), (30_000_000, 2), (200_000, 9)):
+        res = knn.pick_res_for_radius(r_e6)
+        assert res == want, (r_e6, res)
+        # cell width at res must cover the radius
+        assert 360_000_000 // (1 << (res + 1)) >= r_e6
+
+
+def test_raster_zonal(spark, duck):
+    got = _cmp(raster.raster_zonal_stats(raster.raster_df(spark),
+                                         raster.zone_bounds_df(spark)),
+               duck, raster.raster_zonal_stats_sql(), ["zone_id"])
+    assert len(got) == 84
+    assert got.wmean_value.between(0, 1000).all()
+    # total overlap area equals the full sphere rectangle (zones tile it)
+    assert got.overlap_e6sq.sum() == 360_000_000 * 180_000_000
+
+
+def test_cosine_topk(spark, duck):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3]
+    got = _cmp(similarity.cosine_topk(emb, qids, k=5), duck,
+               similarity.cosine_topk_sql(qids, k=5), ["query_id", "rank"])
+    assert len(got) == 4 * 5
+    for q in qids:
+        sub = got[got.query_id == q]
+        assert list(sub.sort_values("rank")["cos"]) == sorted(sub.cos, reverse=True)
+
+
+def test_cosine_pairs(spark, duck):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = _cmp(similarity.cosine_pairs(emb, threshold=0.4), duck,
+               similarity.cosine_pairs_sql(threshold=0.4), ["id_a", "id_b"])
+    assert (got.cos >= 0.4).all()
+
+
+def test_lsh_topk_matches_oracle_and_recall(spark, duck):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3]
+    got = _cmp(similarity.lsh_topk(emb, qids, k=5), duck,
+               similarity.lsh_topk_sql(qids, k=5), ["query_id", "rank"])
+    assert set(got.query_id) <= set(qids)
+
+
+def test_lsh_finds_planted_duplicates(spark):
+    """An exact copy has identical hyperplane signs → guaranteed same bucket
+    → LSH must rank it first (cos = 1)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3]
+    copies = (emb.where(F.col("vec_id").isin(qids))
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      "embedding", "label"))
+    got = similarity.lsh_topk(emb.unionByName(copies), qids, k=3).toPandas()
+    top1 = got[got["rank"] == 1].set_index("query_id")["vec_id"]
+    for q in qids:
+        assert top1[q] == q + 100000
