@@ -23,7 +23,7 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import knn, raster, similarity, zonal
+from geoclimate_spark.operators import components, knn, raster, similarity, windows, zonal
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
 from geoclimate_spark.plans import flagship
@@ -206,6 +206,28 @@ def _q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(_emb(spark, sf_dir), EMB_DUP_T)
 
 
+WINDOW_SEC = 3600
+SESSION_GAP_SEC = 600
+CC_RADIUS_E6 = 50_000  # 0.05 degrees — urban-block scale
+
+
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.tumbling_window_agg(ev, WINDOW_SEC)
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.sessionize(ev, SESSION_GAP_SEC)
+
+
+def _q_page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _geo_points(spark, sf_dir)
+    edges = components.proximity_edges(pts, CC_RADIUS_E6)
+    return components.connected_components(pts.select("page_id"), edges,
+                                           key="page_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_zone_tile_language_mix": _q_flagship,
@@ -229,6 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
         "embedding_near_dup": _q_emb_pairs,
+        "event_window_agg": _q_event_windows,
+        "event_sessions": _q_event_sessions,
+        "page_components": _q_page_components,
     }
 
 
@@ -316,6 +341,11 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "ann_topk_bruteforce": similarity.cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
         "embedding_near_dup": similarity.cosine_pairs_sql(EMB_DUP_T),
+        "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),
+        "event_sessions": windows.sessionize_sql(SESSION_GAP_SEC),
+        "page_components": components.connected_components_sql(
+            f"{_PAGES_CTE}\nSELECT page_id, lon_e6, lat_e6 FROM pages WHERE lon_e6 IS NOT NULL",
+            CC_RADIUS_E6),
         "direction_distribution": dist_op.characterize_distribution_sql(
             dist_op.direction_distribution_sql(
                 f"""{_PAGES_CTE}, centers AS ({layers.zone_center_values_sql()})
