@@ -24,6 +24,7 @@ from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
 from geoclimate_spark.operators import components, knn, raster, similarity, windows, zonal
+from geoclimate_spark.sources import media
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
 from geoclimate_spark.plans import flagship
@@ -221,6 +222,12 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sessionize(ev, SESSION_GAP_SEC)
 
 
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize media binaries, then decode metadata FROM THE BYTES —
+    the oracle recomputes the same fields from doc_id arithmetic."""
+    return media.decode_metadata(media.synth_media(_docs(spark, sf_dir)))
+
+
 def _q_page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _geo_points(spark, sf_dir)
     edges = components.proximity_edges(pts, CC_RADIUS_E6)
@@ -254,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_agg": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "page_components": _q_page_components,
+        "media_metadata": _q_media_metadata,
     }
 
 
@@ -343,6 +351,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "embedding_near_dup": similarity.cosine_pairs_sql(EMB_DUP_T),
         "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),
         "event_sessions": windows.sessionize_sql(SESSION_GAP_SEC),
+        "media_metadata": media.media_metadata_oracle_sql(),
         "page_components": components.connected_components_sql(
             f"{_PAGES_CTE}\nSELECT page_id, lon_e6, lat_e6 FROM pages WHERE lon_e6 IS NOT NULL",
             CC_RADIUS_E6),
