@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule (N → 4N cores).
+
+No real cluster exists in this sandbox, so per BASELINE.md the N→4N executor
+scaling criterion is evidenced by running the IDENTICAL flagship pipeline on
+the IDENTICAL deterministic synthetic input at two parallelism levels
+(default local[8] vs local[32]) in separate JVMs, and reporting
+
+    efficiency = (throughput_4N / throughput_N) / 4        (target >= 0.8)
+
+Each level runs in a fresh subprocess (own JVM) so executor-thread counts,
+shuffle partitions and memory pools are truly independent. A warmup run at
+each level absorbs JVM/JIT/codegen startup so the measured run reflects
+steady-state throughput (what a long cluster job sees).
+
+Writes BENCH/scaling_latest.json (picked up by bench.py) and appends a row
+to BENCH/BASELINE.md.
+
+Usage: python BENCH/scaling.py [n_pages] [cores_small] [cores_big]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {root!r})
+from geoclimate_spark.session import get_spark
+from geoclimate_spark.plans.flagship import zone_tile_language_mix
+from geoclimate_spark.sources.pages import synth_pages
+
+cores, n = {cores}, {n}
+spark = get_spark(app=f"scaling-{{cores}}", cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+# identical input at every level: same generator, same partition count
+pages = synth_pages(spark, n, partitions=128)
+for tag in ("warmup", "measured"):
+    t0 = time.perf_counter()
+    groups = zone_tile_language_mix(pages).count()
+    dt = time.perf_counter() - t0
+    print(json.dumps({{"tag": tag, "cores": cores, "sec": dt,
+                       "pages_per_sec": n / dt, "groups": groups}}),
+          flush=True)
+spark.stop()
+"""
+
+
+def run_level(cores: int, n: int) -> dict:
+    code = _WORKER.format(root=str(ROOT), cores=cores, n=n)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    recs = [json.loads(l) for l in out.stdout.splitlines()
+            if l.startswith("{")]
+    return next(r for r in recs if r["tag"] == "measured")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    r_small = run_level(small, n)
+    r_big = run_level(big, n)
+    eff = (r_big["pages_per_sec"] / r_small["pages_per_sec"]) / (big / small)
+    result = {
+        "n_pages": n,
+        "cores_small": small, "cores_big": big,
+        "throughput_small": round(r_small["pages_per_sec"], 1),
+        "throughput_big": round(r_big["pages_per_sec"], 1),
+        "sec_small": round(r_small["sec"], 3),
+        "sec_big": round(r_big["sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    out = Path(__file__).parent / "scaling_latest.json"
+    out.write_text(json.dumps(result, indent=2) + "\n")
+    md = Path(__file__).parent / "BASELINE.md"
+    if not md.exists():
+        md.write_text(
+            "# BENCH baseline — measured scaling runs\n\n"
+            "| when (UTC) | pages | cores N→4N | pages/s @N | pages/s @4N | efficiency | pass |\n"
+            "|---|---|---|---|---|---|---|\n")
+    with md.open("a") as f:
+        f.write(f"| {result['measured_at']} | {n} | {small}→{big} "
+                f"| {result['throughput_small']} | {result['throughput_big']} "
+                f"| {result['scaling_efficiency']} | {result['pass']} |\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

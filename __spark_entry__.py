@@ -23,7 +23,7 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import components, knn, raster, similarity, windows, zonal
+from geoclimate_spark.operators import classify, components, knn, raster, similarity, windows, zonal
 from geoclimate_spark.sources import media
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
@@ -222,6 +222,46 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sessionize(ev, SESSION_GAP_SEC)
 
 
+ZONE_CLASSES = {"dense": [300.0, 0.2], "sparse": [300.0, 0.01], "empty": [0.0, 0.0]}
+ZONE_CLASS_SCALES = [100.0, 0.05]
+LOD_LEVELS = (7, 5, 3)
+
+
+def _q_tile_modeb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_op.largest_overlap_tile(spark, raster.zone_bounds_df(spark),
+                                        TILE_RES)
+
+
+def _zone_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.unweighted_stats(
+        _zoned_pages(spark, sf_dir), layers.zone_dim_df(spark), "zone_id",
+        "chars", ops=("avg", "nb_dens"))
+
+
+def _q_zone_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _zone_features(spark, sf_dir).select(
+        "zone_id", "avg_chars", "nb_dens_chars")
+    return classify.classify_min_distance(
+        feats, ["zone_id"], ["avg_chars", "nb_dens_chars"],
+        ZONE_CLASSES, ZONE_CLASS_SCALES)
+
+
+def _q_tile_lod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _geo_points(spark, sf_dir)
+    base = (g.withColumn("tile_id", tile_op.tile_col(
+        F.col("lon_e6"), F.col("lat_e6"), LOD_LEVELS[0]))
+        .groupBy("tile_id").agg(F.count("*").alias("n_pages")))
+    lods = tile_op.lod_rollup(base, "tile_id", LOD_LEVELS[0],
+                              LOD_LEVELS[0] - LOD_LEVELS[-1],
+                              [F.sum("n_pages").alias("n_pages")])
+    out = base.select(F.lit(LOD_LEVELS[0]).cast("long").alias("res"),
+                      F.col("tile_id").alias("cell"), "n_pages")
+    for r in LOD_LEVELS[1:]:
+        out = out.unionByName(
+            lods[r].select(F.lit(r).cast("long").alias("res"), "cell", "n_pages"))
+    return out
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize media binaries, then decode metadata FROM THE BYTES —
     the oracle recomputes the same fields from doc_id arithmetic."""
@@ -262,6 +302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "page_components": _q_page_components,
         "media_metadata": _q_media_metadata,
+        "zone_tile_assignment_modeb": _q_tile_modeb,
+        "zone_classification": _q_zone_classification,
+        "tile_lod_rollup": _q_tile_lod,
     }
 
 
@@ -352,6 +395,23 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),
         "event_sessions": windows.sessionize_sql(SESSION_GAP_SEC),
         "media_metadata": media.media_metadata_oracle_sql(),
+        "zone_tile_assignment_modeb": tile_op.largest_overlap_tile_sql(
+            raster.zone_bounds_values_sql(), TILE_RES),
+        "zone_classification": classify.classify_min_distance_sql(
+            "SELECT zone_id, avg_chars, nb_dens_chars FROM (\n"
+            + zonal.unweighted_stats_sql(
+                _geo_rows_sql("LENGTH(text) AS chars"),
+                layers.zone_dim_values_sql(), "zone_id", "chars",
+                ops=("avg", "nb_dens")) + "\n) t",
+            ["zone_id"], ["avg_chars", "nb_dens_chars"],
+            ZONE_CLASSES, ZONE_CLASS_SCALES),
+        "tile_lod_rollup": " UNION ALL ".join(
+            f"""({_PAGES_CTE}
+SELECT CAST({r} AS BIGINT) AS res,
+       CAST({grid.cell_sql("lon_e6", "lat_e6", r)} AS BIGINT) AS cell,
+       COUNT(*) AS n_pages
+FROM pages WHERE lon_e6 IS NOT NULL GROUP BY 2)"""
+            for r in LOD_LEVELS),
         "page_components": components.connected_components_sql(
             f"{_PAGES_CTE}\nSELECT page_id, lon_e6, lat_e6 FROM pages WHERE lon_e6 IS NOT NULL",
             CC_RADIUS_E6),

@@ -42,21 +42,27 @@ def _check_res(res: int) -> tuple[int, int, int]:
     return nx, ny, 360_000_000 // nx
 
 
-def raster_df(spark: SparkSession, res: int = RASTER_RES) -> DataFrame:
-    """Deterministic synthetic raster: one row per cell with integer µ°
-    bounds and an LCG value in [0, 1000)."""
+def grid_cells_df(spark: SparkSession, res: int = RASTER_RES) -> DataFrame:
+    """One row per grid cell with row-major id, (x, y) and exact integer µ°
+    bounds — shared by the raster source and the polygon→tile assignment."""
     nx, ny, w = _check_res(res)
     ids = spark.range(nx * ny).select(F.col("id").alias("cell_id"))
     x = (F.col("cell_id") % nx).alias("x")
     y = ((F.col("cell_id") - F.col("cell_id") % nx) / nx).cast("long").alias("y")
     c = ids.select("cell_id", x, y)
     return c.select(
-        "cell_id",
+        "cell_id", "x", "y",
         (F.col("x") * w - 180_000_000).alias("lon0_e6"),
         (F.col("y") * w - 90_000_000).alias("lat0_e6"),
         ((F.col("x") + 1) * w - 180_000_000).alias("lon1_e6"),
-        ((F.col("y") + 1) * w - 90_000_000).alias("lat1_e6"),
-        ((F.col("cell_id") * _A + 11) % _M % 1000).alias("value"))
+        ((F.col("y") + 1) * w - 90_000_000).alias("lat1_e6"))
+
+
+def raster_df(spark: SparkSession, res: int = RASTER_RES) -> DataFrame:
+    """Deterministic synthetic raster: one row per cell with integer µ°
+    bounds and an LCG value in [0, 1000)."""
+    return (grid_cells_df(spark, res).drop("x", "y")
+            .withColumn("value", (F.col("cell_id") * _A + 11) % _M % 1000))
 
 
 def raster_sql(res: int = RASTER_RES) -> str:

@@ -158,6 +158,12 @@ def voronoi_zones(n: int = 40, seed: int = 42,
     return zones
 
 
+# Covering construction is pure driver-side Python — without caching it is a
+# FIXED SERIAL COST in every query (measured ~3s at res 6 / 72 zones), which
+# destroys N→4N scaling of short jobs. Keyed by zone content + res.
+_COVER_CACHE: dict = {}
+
+
 def zone_covering(zones: list[Zone], res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Filter-and-refine covering: for each zone, every res-cell whose rect
     intersects the zone polygon, flagged full (rect entirely inside → skip the
@@ -167,20 +173,31 @@ def zone_covering(zones: list[Zone], res: int) -> tuple[np.ndarray, np.ndarray, 
     (`SpatialUnits.groovy:128-129`, `InputDataFormatting.groovy:204-208`):
     the small polygon side is pre-exploded to index cells so the big side
     joins by cell key only.
+
+    Vectorized: the 4 corner-in-polygon tests run over ALL candidate cells of
+    a zone at once; the exact rect↔polygon fallback only runs for the rare
+    cells with no corner inside (polygon spike entering a cell side).
+    full = all 4 corners inside — safe for convex zones (rects and hulls).
     """
+    key = (res, tuple((z.zone_id, z.bbox) for z in zones))
+    if key in _COVER_CACHE:
+        return _COVER_CACHE[key]
     cells, zids, fulls = [], [], []
     for z in zones:
-        b = z.bbox
-        cand = grid.cover_bbox_np(*b, res)
+        cand = grid.cover_bbox_np(*z.bbox, res)
         lo0, la0, lo1, la1 = grid.cell_bounds_np(cand)
-        for c, a0, b0, a1, b1 in zip(cand, lo0, la0, lo1, la1):
-            if not geometry.rect_intersects_polygon(a0, b0, a1, b1, z.poly):
-                continue
-            corners = geometry.rect_poly(a0, b0, a1, b1)
-            full = bool(geometry.points_in_polygon(corners[:, 0], corners[:, 1], z.poly).all())
-            # full only safe for convex zones; rect zones and hulls are convex
-            cells.append(int(c))
-            zids.append(z.zone_id)
-            fulls.append(full)
-    return (np.asarray(cells, np.int64), np.asarray(zids, np.int64),
-            np.asarray(fulls, bool))
+        inside = np.stack([
+            geometry.points_in_polygon(cx, cy, z.poly)
+            for cx, cy in ((lo0, la0), (lo1, la0), (lo1, la1), (lo0, la1))])
+        full = inside.all(axis=0)
+        keep = inside.any(axis=0)
+        for i in np.where(~keep)[0]:
+            keep[i] = geometry.rect_intersects_polygon(
+                lo0[i], la0[i], lo1[i], la1[i], z.poly)
+        cells.append(cand[keep])
+        zids.append(np.full(int(keep.sum()), z.zone_id, np.int64))
+        fulls.append(full[keep])
+    out = (np.concatenate(cells).astype(np.int64), np.concatenate(zids),
+           np.concatenate(fulls))
+    _COVER_CACHE[key] = out
+    return out
