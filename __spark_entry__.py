@@ -23,7 +23,7 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import classify, components, knn, raster, similarity, windows, zonal
+from geoclimate_spark.operators import classify, components, knn, overlay, raster, similarity, windows, zonal
 from geoclimate_spark.sources import media
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
@@ -262,6 +262,33 @@ def _q_tile_lod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SURFACE_PRIORITY = ["water", "builtup", "veg"]
+
+
+def _q_surface_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone overlay of synthetic land-cover rect layers → priority-
+    resolved exclusive fractions. No SQL oracle (arrangement-based overlay,
+    like the reference's native ST_POLYGONIZE) — pytest-verified invariants;
+    the driver records the rows-only check."""
+    zones = raster.zone_bounds_df(spark)
+    combos = overlay.overlay_rect_layers(
+        zones, layers.rect_layers_df(spark), list(layers.RECT_LAYER_NAMES))
+    return overlay.surface_fractions(combos, zones,
+                                     list(layers.RECT_LAYER_NAMES),
+                                     SURFACE_PRIORITY)
+
+
+def _q_component_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocks dissolve: CC labels joined back to points, hull per component.
+    No SQL oracle (iterative CC + hull); rows-only check."""
+    pts = _geo_points(spark, sf_dir)
+    edges = components.proximity_edges(pts, CC_RADIUS_E6)
+    cc = components.connected_components(pts.select("page_id"), edges,
+                                         key="page_id")
+    labeled = pts.join(cc.select("page_id", "component"), "page_id")
+    return overlay.dissolve_components(labeled)
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize media binaries, then decode metadata FROM THE BYTES —
     the oracle recomputes the same fields from doc_id arithmetic."""
@@ -305,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_tile_assignment_modeb": _q_tile_modeb,
         "zone_classification": _q_zone_classification,
         "tile_lod_rollup": _q_tile_lod,
+        "zone_surface_fractions": _q_surface_fractions,
+        "component_dissolve": _q_component_dissolve,
     }
 
 

@@ -139,6 +139,37 @@ def zone_center_values_sql() -> str:
             f" AS t(zone_id, center_lon_e6, center_lat_e6)")
 
 
+RECT_LAYER_NAMES = ("builtup", "water", "veg")
+
+
+def synth_rect_layer_rows(n_per_layer: int = 25) -> list[tuple[str, int, int, int, int]]:
+    """Deterministic synthetic land-cover rects (LCG-placed, integer µ°) —
+    the abstract-model layers (building/water/vegetation,
+    `osm/InputDataFormatting.groovy:63-67,530,605`) reduced to rect
+    footprints for the exact overlay operator."""
+    rows = []
+    s = 123_457
+    for li, layer in enumerate(RECT_LAYER_NAMES):
+        for k in range(n_per_layer):
+            s = (s * 48_271 + 11) % 2_147_483_647
+            x0 = s % 340_000_000 - 175_000_000
+            s = (s * 48_271 + 11) % 2_147_483_647
+            y0 = s % 120_000_000 - 65_000_000
+            s = (s * 48_271 + 11) % 2_147_483_647
+            w = 1_000_000 + s % (8_000_000 * (li + 1))
+            s = (s * 48_271 + 11) % 2_147_483_647
+            h = 1_000_000 + s % 6_000_000
+            rows.append((layer, x0, y0, min(x0 + w, 180_000_000),
+                         min(y0 + h, 90_000_000)))
+    return rows
+
+
+def rect_layers_df(spark):
+    return spark.createDataFrame(
+        synth_rect_layer_rows(),
+        "layer string, lon0 long, lat0 long, lon1 long, lat1 long")
+
+
 def voronoi_zones(n: int = 40, seed: int = 42,
                   bbox=(-20.0, 30.0, 30.0, 60.0)) -> list[Zone]:
     """Seeded convex zones ("Europe patch"): convex hulls of jittered point

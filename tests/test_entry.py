@@ -22,6 +22,17 @@ def test_queries_have_oracles():
     assert set(os_) <= set(qs)
 
 
+@pytest.mark.parametrize("name",
+                         sorted(set(E.queries()) - set(E.oracle_sql())))
+def test_non_oracle_queries_run(spark, name):
+    """Rows-only queries (no SQL oracle) must still execute and yield rows
+    with a stable schema — the driver's weaker check."""
+    df = E.queries()[name](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.columns) >= 2
+
+
 @pytest.mark.parametrize("name", sorted(E.oracle_sql()))
 def test_query_matches_duckdb_oracle(spark, duck, name):
     sdf = E.queries()[name](spark, SF_SMOKE).toPandas()

@@ -1,0 +1,121 @@
+"""Overlay/surface-fractions/dissolve + skew utilities tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geoclimate_spark.operators import overlay, raster, skew
+
+SF = "/root/testdata/sf0.001"
+
+
+def _zone(spark, zid, x0, y0, x1, y1):
+    return spark.createDataFrame([(zid, x0, y0, x1, y1)],
+                                 "zone_id long, zlon0 long, zlat0 long, zlon1 long, zlat1 long")
+
+
+def _rects(spark, rows):
+    return spark.createDataFrame(rows,
+                                 "layer string, lon0 long, lat0 long, lon1 long, lat1 long")
+
+
+def test_overlay_hand_case(spark):
+    zones = _zone(spark, 7, 0, 0, 10, 10)
+    rects = _rects(spark, [("a", 0, 0, 5, 10), ("b", 3, 0, 10, 4)])
+    got = (overlay.overlay_rect_layers(zones, rects, ["a", "b"])
+           .toPandas().set_index("combo").area_e6sq.to_dict())
+    assert got == {0: 30, 1: 42, 2: 20, 3: 8}
+
+
+def test_overlay_area_invariant_real_zones(spark):
+    zones = raster.zone_bounds_df(spark)
+    rects = _rects(spark, [
+        ("builtup", 2_000_000, 48_000_000, 3_000_000, 49_500_000),
+        ("builtup", -74_500_000, 40_000_000, -73_500_000, 41_000_000),
+        ("water", -80_000_000, -10_000_000, 30_000_000, 10_000_000),
+        ("veg", 100_000_000, 30_000_000, 145_000_000, 50_000_000),
+        ("veg", 2_500_000, 48_500_000, 2_800_000, 49_000_000),
+    ])
+    combos = overlay.overlay_rect_layers(zones, rects,
+                                         ["builtup", "water", "veg"])
+    got = combos.groupBy("zone_id").agg(F.sum("area_e6sq").alias("a")).toPandas()
+    zb = zones.toPandas()
+    zb["expect"] = (zb.zlon1 - zb.zlon0) * (zb.zlat1 - zb.zlat0)
+    m = got.merge(zb[["zone_id", "expect"]], on="zone_id")
+    assert len(m) == len(zb)
+    assert (m.a == m.expect).all()
+
+
+def test_overlay_montecarlo(spark):
+    """Independent containment oracle: deterministic pseudo-random points,
+    exact combo computed per point, empirical area ratio ~ exact ratio."""
+    zones = _zone(spark, 1, 0, 0, 1_000_000, 1_000_000)
+    rlist = [("a", 100_000, 100_000, 700_000, 600_000),
+             ("b", 400_000, 300_000, 900_000, 900_000),
+             ("c", 0, 800_000, 1_000_000, 1_000_000)]
+    combos = (overlay.overlay_rect_layers(zones, _rects(spark, rlist),
+                                          ["a", "b", "c"])
+              .toPandas().set_index("combo").area_e6sq)
+    rng = np.random.default_rng(42)
+    pts = rng.integers(0, 1_000_000, size=(200_000, 2))
+    flags = np.zeros(len(pts), np.int64)
+    for i, (_, x0, y0, x1, y1) in enumerate(rlist):
+        inside = ((pts[:, 0] >= x0) & (pts[:, 0] < x1)
+                  & (pts[:, 1] >= y0) & (pts[:, 1] < y1))
+        flags |= np.where(inside, 1 << i, 0)
+    total = combos.sum()
+    for combo, area in combos.items():
+        emp = (flags == combo).mean()
+        assert abs(emp - area / total) < 0.01, combo
+
+
+def test_surface_fractions_priority(spark):
+    zones = _zone(spark, 3, 0, 0, 10, 10)
+    rects = _rects(spark, [("a", 0, 0, 5, 10), ("b", 3, 0, 10, 4)])
+    combos = overlay.overlay_rect_layers(zones, rects, ["a", "b"])
+    fr = (overlay.surface_fractions(combos, zones, ["a", "b"], ["b", "a"])
+          .toPandas().iloc[0])
+    # priority b first: combo a&b (8) goes to b → b = 20+8, a = 42, none = 30
+    assert fr.frac_b == 0.28 and fr.frac_a == 0.42 and fr.frac_undefined == 0.30
+
+
+def test_dissolve_components(spark):
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (1, 2_000_000, 0), (1, 0, 2_000_000), (1, 500_000, 500_000),
+         (2, 10_000_000, 10_000_000)],
+        "component long, lon_e6 long, lat_e6 long")
+    got = overlay.dissolve_components(pts).toPandas().set_index("component")
+    assert got.loc[1, "n_points"] == 3 + 1
+    assert abs(got.loc[1, "hull_area"] - 2.0) < 1e-9  # right triangle 2x2 deg
+    assert got.loc[2, "hull_area"] == 0.0
+    assert got.loc[2, "lon_min"] == 10_000_000
+
+
+def test_salted_agg_equals_plain(spark):
+    df = (spark.read.parquet(f"{SF}/documents.parquet")
+          .select("doc_id", (F.col("doc_id") % 5).alias("k"),
+                  F.col("n_chars").alias("v")))
+    plain = (df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("t"),
+                                 F.max("v").alias("mx"))
+             .toPandas().sort_values("k").reset_index(drop=True))
+    salted = (skew.salted_agg(df, ["k"],
+                              {"n": ("*", F.count, F.sum),
+                               "t": ("v", F.sum, F.sum),
+                               "mx": ("v", F.max, F.max)},
+                              n_salts=8, id_col="doc_id")
+              .toPandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+    sc = (skew.salted_count(df, ["k"], 8, "doc_id")
+          .toPandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain[["k", "n"]], sc, check_dtype=False)
+
+
+def test_key_skew_stats(spark):
+    df = (spark.read.parquet(f"{SF}/documents.parquet")
+          .select((F.when(F.col("doc_id") < 400, 0).otherwise(F.col("doc_id")))
+                  .alias("k")))
+    top = skew.key_skew_stats(df, ["k"], top=3).toPandas()
+    assert top.iloc[0].k == 0 and top.iloc[0].n == 400
+    assert abs(top.iloc[0].share - 0.8) < 1e-12
