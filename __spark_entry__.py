@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geoclimate_spark import grid
+from geoclimate_spark.functions import geom_props
 from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
@@ -295,6 +296,11 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.decode_metadata(media.synth_media(_docs(spark, sf_dir)))
 
 
+def _q_zone_geometry_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geom_props.with_geometry_props(
+        geom_props.zone_vertices_df(spark)).drop("vertices")
+
+
 def _q_page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _geo_points(spark, sf_dir)
     edges = components.proximity_edges(pts, CC_RADIUS_E6)
@@ -334,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_lod_rollup": _q_tile_lod,
         "zone_surface_fractions": _q_surface_fractions,
         "component_dissolve": _q_component_dissolve,
+        "zone_geometry_props": _q_zone_geometry_props,
     }
 
 
@@ -424,6 +431,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),
         "event_sessions": windows.sessionize_sql(SESSION_GAP_SEC),
         "media_metadata": media.media_metadata_oracle_sql(),
+        "zone_geometry_props": geom_props.geometry_props_oracle_sql(),
         "zone_tile_assignment_modeb": tile_op.largest_overlap_tile_sql(
             raster.zone_bounds_values_sql(), TILE_RES),
         "zone_classification": classify.classify_min_distance_sql(

@@ -107,10 +107,13 @@ def spatial_join_points(df: DataFrame, zones: list[Zone], key: str = "page_id",
              .withColumn("_jcell", grid.cell_col(F.col(lon), F.col(lat), res)))
     cand = pts.join(F.broadcast(cov), pts["_jcell"] == cov["z_cell"], "inner")
     hit = cand.where(F.col("z_full") | pip(F.col(lon), F.col(lat), F.col("zone_id")))
-    return hit.groupBy(key).agg(
-        F.min("zone_id").alias("zone_id"),
-        F.first(lon).alias(lon), F.first(lat).alias(lat),
-        *[F.first(c).alias(c) for c in passthrough])
+    # Passthrough + coords go in the GROUPING KEY, not first() buffers:
+    # string agg buffers would force SortAggregate; as keys the plan stays a
+    # HashAggregate with map-side combine (values identical per page, so the
+    # grouping is still one group per page).
+    out = (hit.groupBy(key, lon, lat, *passthrough)
+           .agg(F.min("zone_id").alias("zone_id")))
+    return out.select(key, "zone_id", lon, lat, *passthrough)
 
 
 def spatial_join_points_np(lon_e6: np.ndarray, lat_e6: np.ndarray,

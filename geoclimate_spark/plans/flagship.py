@@ -31,16 +31,23 @@ def geo_pages(pages: DataFrame) -> DataFrame:
 
 
 def zone_tile_language_mix(pages: DataFrame, tile_res: int = TILE_RES) -> DataFrame:
-    """Pages per (zone, tile): counts, language mix, mean extracted length."""
-    g = geo_pages(pages)
+    """Pages per (zone, tile): counts, language mix, mean extracted length.
+
+    The wide ``text_extracted`` column is reduced to an integer ``chars``
+    BEFORE the PIP join, so the join output, both shuffles and all agg
+    buffers are numeric + one short lang string — HashAggregate with
+    map-side combine end to end (checked in docs/PLANS.md).
+    """
+    g = geo_pages(pages).withColumn(
+        "chars", F.length("text_extracted").cast("long"))
     assigned = spatial_join_points(g, climate_zones(),
-                                   passthrough=["lang", "text_extracted"])
+                                   passthrough=["lang", "chars"])
     tiled = with_tile(assigned, res=tile_res)
     return (tiled.groupBy("zone_id", "tile_id")
             .agg(F.count("*").alias("n_pages"),
                  F.countDistinct("lang").alias("n_langs"),
-                 F.sum(F.length("text_extracted")).alias("total_chars"),
-                 (F.sum(F.length("text_extracted")) / F.count("*")).alias("avg_chars")))
+                 F.sum("chars").alias("total_chars"),
+                 (F.sum("chars") / F.count("*")).alias("avg_chars")))
 
 
 def run(spark: SparkSession, sf_dir: str, tile_res: int = TILE_RES) -> DataFrame:

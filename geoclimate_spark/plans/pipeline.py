@@ -146,19 +146,20 @@ def flagship_stages(sf_dir: str, tile_res: int | None = None) -> list[Stage]:
     def s_extract(spark, up):
         pages = pages_from_documents(spark, sf_dir)
         ex = with_extraction(pages.select("page_id", "url", "lang", "html"))
-        return ex.where(F.col("lon_e6").isNotNull()).drop("html")
+        return (ex.where(F.col("lon_e6").isNotNull()).drop("html")
+                .withColumn("chars", F.length("text_extracted").cast("long")))
 
     def s_pip(spark, up):
         return spatial_join_points(up["extract"], climate_zones(),
-                                   passthrough=["lang", "text_extracted"])
+                                   passthrough=["lang", "chars"])
 
     def s_agg(spark, up):
         tiled = with_tile(up["pip_join"], res=tr)
         return (tiled.groupBy("zone_id", "tile_id")
                 .agg(F.count("*").alias("n_pages"),
                      F.countDistinct("lang").alias("n_langs"),
-                     F.sum(F.length("text_extracted")).alias("total_chars"),
-                     (F.sum(F.length("text_extracted")) / F.count("*")).alias("avg_chars")))
+                     F.sum("chars").alias("total_chars"),
+                     (F.sum("chars") / F.count("*")).alias("avg_chars")))
 
     return [Stage("extract", s_extract), Stage("pip_join", s_pip),
             Stage("zone_tile_agg", s_agg)]

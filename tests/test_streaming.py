@@ -1,0 +1,60 @@
+"""Structured Streaming ingest: incremental exactly-once + windowed aggs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoclimate_spark.sources.pages import pages_from_documents
+from geoclimate_spark.streaming import ingest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _land(spark, tmp_path, cond, name):
+    src = pages_from_documents(spark, SF).where(cond)
+    src.write.mode("overwrite").parquet(str(tmp_path / "in" / name))
+    return src.count()
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    in_dir = str(tmp_path / "in" / "*")  # chunks land as subdirectories
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    n1 = _land(spark, tmp_path, F.col("page_id") < 250, "chunk1")
+    ingest.run_ingest(spark, in_dir, out, ck)
+    got1 = spark.read.parquet(out)
+    exp1 = (pages_from_documents(spark, SF)
+            .where((F.col("page_id") < 250) & F.col("lon_e6").isNotNull()).count())
+    assert got1.count() == exp1
+
+    # second batch of files lands; rerun with the SAME checkpoint →
+    # only the new files are processed (no duplicates of chunk1)
+    _land(spark, tmp_path, F.col("page_id") >= 250, "chunk2")
+    ingest.run_ingest(spark, in_dir, out, ck)
+    got2 = spark.read.parquet(out)
+    exp_all = (pages_from_documents(spark, SF)
+               .where(F.col("lon_e6").isNotNull()).count())
+    assert got2.count() == exp_all
+    assert got2.select("page_id").distinct().count() == exp_all
+    # enrichment columns present, html not persisted
+    assert "tile_id" in got2.columns and "html" not in got2.columns
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in" / "*")
+    _land(spark, tmp_path, F.lit(True), "all")
+    stream = ingest.stream_pages(spark, in_dir)
+    agg = ingest.windowed_tile_counts(stream, window="24 hours",
+                                      watermark="48 hours")
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = (spark.table("win_counts").toPandas()
+           .sort_values(["window_start", "tile_id"]).reset_index(drop=True))
+    batch = (ingest.windowed_tile_counts(pages_from_documents(spark, SF),
+                                         window="24 hours")
+             .toPandas().sort_values(["window_start", "tile_id"])
+             .reset_index(drop=True))
+    assert len(got) == len(batch)
+    assert (got.n_pages.to_numpy() == batch.n_pages.to_numpy()).all()
+    assert (got.tile_id.to_numpy() == batch.tile_id.to_numpy()).all()
