@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60_col, hash60_seeded_col, hash60_sql, hash60_seeded_sql
+from ..functions.hashing import (hash60_col, hash60_seeded_col, hash60_sql,
+                                 hash60_seeded_sql, mix60_col, mix60_sql)
 from ..functions.text import normalize_col, normalize_sql
 
 K_SHINGLE = 5
@@ -55,7 +56,14 @@ def shingle_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     lst = F.expr(
         f"array_distinct(transform(sequence(1, greatest(length(_t) - {k - 1}, 1)),"
         f" i -> substring(_t, i, {k})))")
+    # spread docs across workers BEFORE the explode: document corpora often
+    # arrive as few fat files, and every downstream branch (seeded minhash
+    # aggs, intersection joins) inherits this parallelism — without it the
+    # md5 work serializes on the scan partitioning
+    spark = docs.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (docs.select(F.col(id_col).alias("id"), t)
+            .repartition(n_parts, "id")
             .select("id", F.explode(lst).alias("sh")))
 
 
@@ -86,7 +94,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
     """Exact Jaccard near-dup pairs via the inverted shingle index:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     Integer intersection/union counts → the double division is bit-exact."""
-    sh = _df_capped(shingle_df(docs, id_col, text_col, k), max_df)
+    sh = _df_capped(shingle_df(docs, id_col, text_col, k), max_df).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -105,8 +113,9 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = N_HASHES,
                        k: int = K_SHINGLE) -> DataFrame:
     """(id, mh0..mh{P-1}): minimum seeded hash over the doc's shingle set."""
-    sh = shingle_df(docs, id_col, text_col, k)
-    aggs = [F.min(hash60_seeded_col(p, F.col("sh"))).alias(f"mh{p}")
+    sh = shingle_df(docs, id_col, text_col, k).withColumn(
+        "_h", hash60_col(F.col("sh")))
+    aggs = [F.min(mix60_col(F.col("_h"), p)).alias(f"mh{p}")
             for p in range(n_hashes)]
     return sh.groupBy("id").agg(*aggs)
 
@@ -138,9 +147,16 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
     """LSH candidates → exact-Jaccard verify: (id_a, id_b, jaccard >= t).
     Deterministic end-to-end (md5-seeded minhash), so the whole pipeline —
     including LSH recall behavior — is oracle-checkable."""
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
+    # the shingle explode feeds 4 branches (signatures, sizes, both sides of
+    # the intersection join) — persist it once instead of recomputing the
+    # explode + md5 work per branch
+    sh = shingle_df(docs, id_col, text_col, k).persist()
+    # project the base md5 ONCE; the 16 mins see only cheap affine mixes
+    aggs = [F.min(mix60_col(F.col("_h"), p)).alias(f"mh{p}")
+            for p in range(n_hashes)]
+    sig = (sh.withColumn("_h", hash60_col(F.col("sh")))
+           .groupBy("id").agg(*aggs))
     cand = lsh_candidate_pairs(sig, bands, rows)
-    sh = shingle_df(docs, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (cand
              .join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
@@ -251,8 +267,9 @@ def ngram_jaccard_sql(threshold: float = 0.7, doc_rel: str = "documents",
 
 
 def minhash_sig_cte_sql(n_hashes: int = N_HASHES) -> str:
+    h = hash60_sql("sh")
     mins = ",\n       ".join(
-        f"MIN({hash60_seeded_sql(p, 'sh')}) AS mh{p}" for p in range(n_hashes))
+        f"MIN({mix60_sql(h, p)}) AS mh{p}" for p in range(n_hashes))
     return f"sig AS (SELECT id, {mins}\n  FROM sh GROUP BY id)"
 
 

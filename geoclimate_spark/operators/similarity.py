@@ -98,20 +98,69 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, cos
 FROM ranked WHERE rank <= {k}"""
 
 
+def _fold_dots(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """(m×d) × (n×d) → (m×n) dot products accumulated dimension-by-dimension.
+
+    Each += rounds once per dimension in index order — BIT-IDENTICAL to the
+    SQL ``aggregate(zip_with(...))`` left fold and DuckDB's
+    ``list_dot_product``, unlike BLAS matmul (pairwise/FMA reassociation).
+    Vectorized across all pairs, so it runs at memory speed anyway.
+    """
+    import numpy as np
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d, None] * B[None, :, d]
+    return acc
+
+
 def cosine_pairs(emb: DataFrame, threshold: float, id_col: str = "vec_id",
                  vec: str = "embedding") -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — embedding near-dup
-    detection (brute force; LSH-bucket before the join at corpus scale)."""
-    base = _with_norm(emb, id_col, vec)
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                    F.col("nrm").alias("na"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                    F.col("nrm").alias("nb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    (_dot(F.col("va"), F.col("vb"))
-                     / (F.col("na") * F.col("nb"))).alias("cos"))
-            .where(F.col("cos") >= F.lit(threshold)))
+    detection.
+
+    Physical strategy: one side is collected to the driver (n×d float64 —
+    MBs up to ~10^6 vectors) and closure-broadcast; ``mapInPandas`` streams
+    the other side and evaluates a block of pairs per Arrow batch with the
+    order-preserving fold — no 12.5M-row joined intermediate ever exists,
+    only the ≥threshold pairs are emitted. Beyond broadcastable corpus
+    sizes, LSH-bucket first (``lsh_topk`` machinery) and run this within
+    buckets. Bit-identical to the brute-force SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = (emb.select(F.col(id_col).cast("long"), vec)
+            .orderBy(id_col).collect())
+    ids_b = np.array([r[0] for r in rows], dtype=np.int64)
+    B = np.array([r[1] for r in rows], dtype=np.float64)
+    nb = np.zeros(len(B), dtype=np.float64)
+    for d in range(B.shape[1]):
+        nb += B[:, d] * B[:, d]
+    nb = np.sqrt(nb)
+
+    out_schema = f"id_a long, id_b long, cos double"
+
+    def run(batches):
+        for b in batches:
+            ids_a = b[id_col].to_numpy(np.int64)
+            A = np.array([np.asarray(v, dtype=np.float64) for v in b[vec]])
+            na = np.zeros(len(A), dtype=np.float64)
+            for d in range(A.shape[1]):
+                na += A[:, d] * A[:, d]
+            na = np.sqrt(na)
+            cos = _fold_dots(A, B) / (na[:, None] * nb[None, :])
+            ia, ib = np.nonzero((cos >= threshold)
+                                & (ids_a[:, None] < ids_b[None, :]))
+            yield pd.DataFrame({"id_a": ids_a[ia], "id_b": ids_b[ib],
+                                "cos": cos[ia, ib]})
+
+    # spread the streamed side across workers — the source is often a single
+    # parquet file which would otherwise serialize the whole block loop
+    spark = emb.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (emb.select(F.col(id_col).cast("long").alias(id_col), vec)
+            .repartition(n_parts, id_col)
+            .mapInPandas(run, out_schema))
 
 
 def cosine_pairs_sql(threshold: float, rel: str = "embeddings",
