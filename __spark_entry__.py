@@ -24,7 +24,9 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import classify, components, knn, overlay, raster, similarity, windows, zonal
+from geoclimate_spark.operators import (classify, components, knn, overlay,
+                                        raster, roads, similarity, windows,
+                                        zonal)
 from geoclimate_spark.sources import media
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
@@ -296,6 +298,11 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.decode_metadata(media.synth_media(_docs(spark, sf_dir)))
 
 
+def _q_road_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roads.road_zone_stats(roads.roads_df(spark),
+                                 raster.zone_bounds_df(spark))
+
+
 def _q_zone_geometry_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geom_props.with_geometry_props(
         geom_props.zone_vertices_df(spark)).drop("vertices")
@@ -341,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_surface_fractions": _q_surface_fractions,
         "component_dissolve": _q_component_dissolve,
         "zone_geometry_props": _q_zone_geometry_props,
+        "road_zone_stats": _q_road_zone_stats,
     }
 
 
@@ -432,6 +440,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "event_sessions": windows.sessionize_sql(SESSION_GAP_SEC),
         "media_metadata": media.media_metadata_oracle_sql(),
         "zone_geometry_props": geom_props.geometry_props_oracle_sql(),
+        "road_zone_stats": roads.road_zone_stats_sql(
+            roads.roads_values_sql(), raster.zone_bounds_values_sql()),
         "zone_tile_assignment_modeb": tile_op.largest_overlap_tile_sql(
             raster.zone_bounds_values_sql(), TILE_RES),
         "zone_classification": classify.classify_min_distance_sql(

@@ -97,7 +97,12 @@ def zone_bounds_df(spark: SparkSession) -> DataFrame:
 def zone_bounds_values_sql() -> str:
     vals = ",\n  ".join(f"({z}, {a}, {b}, {c}, {d})"
                         for z, a, b, c, d in zone_bounds_rows())
-    return (f"SELECT * FROM (VALUES\n  {vals}\n)"
+    # BIGINT casts: DuckDB types VALUES literals as INT32 and µ°×µ°
+    # products overflow 32 bits
+    return (f"SELECT CAST(zone_id AS BIGINT) AS zone_id,"
+            f" CAST(zlon0 AS BIGINT) AS zlon0, CAST(zlat0 AS BIGINT) AS zlat0,"
+            f" CAST(zlon1 AS BIGINT) AS zlon1, CAST(zlat1 AS BIGINT) AS zlat1"
+            f" FROM (VALUES\n  {vals}\n)"
             f" AS t(zone_id, zlon0, zlat0, zlon1, zlat1)")
 
 
