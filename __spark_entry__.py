@@ -298,6 +298,12 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.decode_metadata(media.synth_media(_docs(spark, sf_dir)))
 
 
+def _q_pair_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return raster.intersect_pair_areas(
+        raster.zone_bounds_df(spark),
+        layers.rect_layers_with_id_df(spark).drop("layer"))
+
+
 def _q_road_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roads.road_zone_stats(roads.roads_df(spark),
                                  raster.zone_bounds_df(spark))
@@ -349,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_dissolve": _q_component_dissolve,
         "zone_geometry_props": _q_zone_geometry_props,
         "road_zone_stats": _q_road_zone_stats,
+        "zone_rect_pair_areas": _q_pair_areas,
     }
 
 
@@ -442,6 +449,9 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "zone_geometry_props": geom_props.geometry_props_oracle_sql(),
         "road_zone_stats": roads.road_zone_stats_sql(
             roads.roads_values_sql(), raster.zone_bounds_values_sql()),
+        "zone_rect_pair_areas": raster.intersect_pair_areas_sql(
+            raster.zone_bounds_values_sql(),
+            f"SELECT rect_id, lon0, lat0, lon1, lat1 FROM ({layers.rect_layers_values_sql()}) rl"),
         "zone_tile_assignment_modeb": tile_op.largest_overlap_tile_sql(
             raster.zone_bounds_values_sql(), TILE_RES),
         "zone_classification": classify.classify_min_distance_sql(

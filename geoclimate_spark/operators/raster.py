@@ -145,6 +145,34 @@ SELECT zone_id,
 FROM j GROUP BY zone_id"""
 
 
+def intersect_pair_areas(zones: DataFrame, rects: DataFrame,
+                         rect_id: str = "rect_id") -> DataFrame:
+    """spatialJoin mode C (`SpatialUnits.groovy:531-538`): every intersecting
+    (zone, rect) pair with its shared area — the all-relations join that
+    feeds area-weighted rollups. Exact bigint µ°² overlaps.
+    ``rects``: ({rect_id}, lon0, lat0, lon1, lat1)."""
+    z, r = F.broadcast(zones).alias("z"), rects.alias("r")
+    ox = F.least(F.col("r.lon1"), F.col("z.zlon1")) - F.greatest(F.col("r.lon0"), F.col("z.zlon0"))
+    oy = F.least(F.col("r.lat1"), F.col("z.zlat1")) - F.greatest(F.col("r.lat0"), F.col("z.zlat0"))
+    return (r.crossJoin(z)
+            .withColumn("area_e6sq",
+                        F.when((ox > 0) & (oy > 0), ox * oy).otherwise(F.lit(0)))
+            .where(F.col("area_e6sq") > 0)
+            .select("zone_id", rect_id, "area_e6sq"))
+
+
+def intersect_pair_areas_sql(zones_sql: str, rects_sql: str,
+                             rect_id: str = "rect_id") -> str:
+    return f"""WITH zones AS ({zones_sql}),
+rects AS ({rects_sql})
+SELECT z.zone_id, r.{rect_id},
+       (LEAST(r.lon1, z.zlon1) - GREATEST(r.lon0, z.zlon0))
+     * (LEAST(r.lat1, z.zlat1) - GREATEST(r.lat0, z.zlat0)) AS area_e6sq
+FROM rects r, zones z
+WHERE LEAST(r.lon1, z.zlon1) > GREATEST(r.lon0, z.zlon0)
+  AND LEAST(r.lat1, z.zlat1) > GREATEST(r.lat0, z.zlat0)"""
+
+
 def page_raster_enrich(pages_cells: DataFrame, raster: DataFrame,
                        res: int = RASTER_RES, cell_col: str = "rcell_id") -> DataFrame:
     """Point-side raster lookup: pages keyed by their raster cell id join the

@@ -170,6 +170,23 @@ def rect_layers_df(spark):
         "layer string, lon0 long, lat0 long, lon1 long, lat1 long")
 
 
+def rect_layers_with_id_df(spark):
+    rows = [(i, *r) for i, r in enumerate(synth_rect_layer_rows())]
+    return spark.createDataFrame(
+        rows, "rect_id long, layer string, lon0 long, lat0 long, lon1 long, lat1 long")
+
+
+def rect_layers_values_sql() -> str:
+    vals = ",\n  ".join(
+        f"({i}, '{l}', {a}, {b}, {c}, {d})"
+        for i, (l, a, b, c, d) in enumerate(synth_rect_layer_rows()))
+    return ("SELECT CAST(rect_id AS BIGINT) AS rect_id, layer,"
+            " CAST(lon0 AS BIGINT) AS lon0, CAST(lat0 AS BIGINT) AS lat0,"
+            " CAST(lon1 AS BIGINT) AS lon1, CAST(lat1 AS BIGINT) AS lat1"
+            " FROM (VALUES\n  " + vals
+            + "\n) AS t(rect_id, layer, lon0, lat0, lon1, lat1)")
+
+
 def voronoi_zones(n: int = 40, seed: int = 42,
                   bbox=(-20.0, 30.0, 30.0, 60.0)) -> list[Zone]:
     """Seeded convex zones ("Europe patch"): convex hulls of jittered point
