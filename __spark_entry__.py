@@ -304,6 +304,49 @@ def _q_pair_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         layers.rect_layers_with_id_df(spark).drop("layer"))
 
 
+KNN_TOPK = 3
+CURATE_MIN_QUALITY = 0.5
+
+
+def _q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _geo_points(spark, sf_dir)
+    nbs = pts.select(F.col("page_id").alias("nb_id"), "lon_e6", "lat_e6")
+    return knn.nearest_neighbors_topk(pts, nbs, KNN_RADIUS_E6, KNN_TOPK)
+
+
+def _q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation pipeline: quality-filter -> exact-dedup (keep the
+    canonical copy) -> typed metadata projection. The end-to-end shape of a
+    training-data prep job, all oracle-checked."""
+    docs = _docs(spark, sf_dir)
+    cols = text_fn.text_metrics_cols(F.col("text"))
+    m = docs.select(F.col("doc_id").alias("id"), "lang",
+                    cols["n_tokens"].alias("n_tokens"),
+                    cols["quality"].alias("quality"),
+                    cols["fingerprint"].alias("fingerprint"))
+    kept = m.where(F.col("quality") >= CURATE_MIN_QUALITY)
+    canon = (kept.groupBy("fingerprint")
+             .agg(F.min("id").alias("id"), F.count("*").alias("n_copies")))
+    return (kept.join(canon.select("id", "n_copies"), "id")
+            .select("id", "lang", "n_tokens", "quality", "fingerprint",
+                    F.col("n_copies").cast("long").alias("n_copies")))
+
+
+def _q_rect_zone_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spatialJoin mode A with POLYGON sources: each land-cover rect joins
+    by its point-on-surface (= center) through the real covering + PIP
+    machinery."""
+    rects = layers.rect_layers_with_id_df(spark)
+    center = lambda a, b: F.expr(
+        f"CAST((({a} + {b}) - ({a} + {b}) % 2) / 2 AS BIGINT)")
+    pts = rects.select("rect_id", "layer",
+                       center("lon0", "lon1").alias("lon_e6"),
+                       center("lat0", "lat1").alias("lat_e6"))
+    return spatial_join_points(pts, layers.climate_zones(), key="rect_id",
+                               passthrough=["layer"]
+                               ).select("rect_id", "zone_id", "layer")
+
+
 def _q_road_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roads.road_zone_stats(roads.roads_df(spark),
                                  raster.zone_bounds_df(spark))
@@ -356,6 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_geometry_props": _q_zone_geometry_props,
         "road_zone_stats": _q_road_zone_stats,
         "zone_rect_pair_areas": _q_pair_areas,
+        "knn_topk_pages": _q_knn_topk,
+        "curated_documents": _q_curated_documents,
+        "rect_zone_assignment": _q_rect_zone_assignment,
     }
 
 
@@ -381,6 +427,20 @@ def _page_raster_oracle_sql() -> str:
 SELECT page_id, CAST({rcell} AS BIGINT) AS rcell_id,
        CAST({rcell} * 48271 + 11 AS BIGINT) % 2147483647 % 1000 AS value
 FROM pages WHERE lon_e6 IS NOT NULL"""
+
+
+def _curated_documents_oracle_sql() -> str:
+    m = text_fn.text_metrics_sql("text")
+    return f"""WITH m AS (
+  SELECT doc_id AS id, lang, {m['n_tokens']} AS n_tokens,
+         {m['quality']} AS quality, {m['fingerprint']} AS fingerprint
+  FROM documents),
+kept AS (SELECT * FROM m WHERE quality >= {CURATE_MIN_QUALITY}),
+canon AS (SELECT fingerprint, MIN(id) AS id, COUNT(*) AS n_copies
+          FROM kept GROUP BY fingerprint)
+SELECT k.id, k.lang, k.n_tokens, k.quality, k.fingerprint,
+       CAST(c.n_copies AS BIGINT) AS n_copies
+FROM kept k JOIN canon c ON c.id = k.id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -449,6 +509,18 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "zone_geometry_props": geom_props.geometry_props_oracle_sql(),
         "road_zone_stats": roads.road_zone_stats_sql(
             roads.roads_values_sql(), raster.zone_bounds_values_sql()),
+        "knn_topk_pages": knn.nearest_neighbors_topk_sql(
+            f"{_PAGES_CTE}\nSELECT page_id, lon_e6, lat_e6 FROM pages WHERE lon_e6 IS NOT NULL",
+            f"{_PAGES_CTE}\nSELECT page_id AS nb_id, lon_e6, lat_e6 FROM pages WHERE lon_e6 IS NOT NULL",
+            KNN_RADIUS_E6, KNN_TOPK),
+        "curated_documents": _curated_documents_oracle_sql(),
+        "rect_zone_assignment": f"""WITH rl AS ({layers.rect_layers_values_sql()})
+SELECT rect_id,
+       CAST({layers.zone_case_sql(
+           'CAST(((lon0 + lon1) - (lon0 + lon1) % 2) / 2 AS BIGINT)',
+           'CAST(((lat0 + lat1) - (lat0 + lat1) % 2) / 2 AS BIGINT)')} AS BIGINT) AS zone_id,
+       layer
+FROM rl""",
         "zone_rect_pair_areas": raster.intersect_pair_areas_sql(
             raster.zone_bounds_values_sql(),
             f"SELECT rect_id, lon0, lat0, lon1, lat1 FROM ({layers.rect_layers_values_sql()}) rl"),

@@ -102,6 +102,55 @@ def nearest_neighbor(points: DataFrame, neighbors: DataFrame, radius_e6: int,
         F.coalesce(F.col("n_within"), F.lit(0)).cast("long").alias("n_within"))
 
 
+def nearest_neighbors_topk(points: DataFrame, neighbors: DataFrame,
+                           radius_e6: int, k: int,
+                           key: str = "page_id", nkey: str = "nb_id",
+                           lon: str = "lon_e6", lat: str = "lat_e6") -> DataFrame:
+    """Top-k neighbors within radius per point: (key, rank, nb_id, dist) —
+    same candidate generation as :func:`nearest_neighbor`, ranked by
+    (d², neighbor id). Points with fewer than k in-range neighbors return
+    fewer rows; with none, no rows (the k=1 variant handles defaults)."""
+    res = pick_res_for_radius(radius_e6)
+    pts = points.select(
+        F.col(key), F.col(lon).alias("_alon"), F.col(lat).alias("_alat"),
+        F.explode(_kring9(grid.cell_col(F.col(lon), F.col(lat), res), res))
+        .alias("_cell"))
+    nbs = neighbors.select(
+        F.col(nkey), F.col(lon).alias("_blon"), F.col(lat).alias("_blat"),
+        grid.cell_col(F.col(lon), F.col(lat), res).alias("_cell"))
+    dx = F.col("_alon") - F.col("_blon")
+    dy = F.col("_alat") - F.col("_blat")
+    cand = (pts.join(nbs, "_cell")
+            .where(F.col(key) != F.col(nkey))
+            .select(key, nkey, (dx * dx + dy * dy).alias("_d2"))
+            .where(F.col("_d2") <= F.lit(radius_e6 * radius_e6)))
+    win = Window.partitionBy(key).orderBy(F.col("_d2").asc(), F.col(nkey).asc())
+    return (cand.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select(key, F.col("rank").cast("long").alias("rank"), nkey,
+                    F.sqrt(F.col("_d2").cast("double")).alias("dist")))
+
+
+def nearest_neighbors_topk_sql(points_sql: str, neighbors_sql: str,
+                               radius_e6: int, k: int,
+                               key: str = "page_id", nkey: str = "nb_id") -> str:
+    return f"""WITH pts AS ({points_sql}),
+nbs AS ({neighbors_sql}),
+cand AS (
+  SELECT p.{key}, n.{nkey},
+         (p.lon_e6 - n.lon_e6) * (p.lon_e6 - n.lon_e6)
+       + (p.lat_e6 - n.lat_e6) * (p.lat_e6 - n.lat_e6) AS d2
+  FROM pts p JOIN nbs n ON p.{key} != n.{nkey}
+  WHERE (p.lon_e6 - n.lon_e6) * (p.lon_e6 - n.lon_e6)
+      + (p.lat_e6 - n.lat_e6) * (p.lat_e6 - n.lat_e6)
+      <= CAST({radius_e6} AS BIGINT) * {radius_e6}),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY {key}
+           ORDER BY d2 ASC, {nkey} ASC) AS rank FROM cand)
+SELECT {key}, CAST(rank AS BIGINT) AS rank, {nkey},
+       SQRT(CAST(d2 AS DOUBLE)) AS dist
+FROM ranked WHERE rank <= {k}"""
+
+
 def nearest_neighbor_sql(points_sql: str, neighbors_sql: str, radius_e6: int,
                          key: str = "page_id", nkey: str = "nb_id") -> str:
     """DuckDB oracle: brute-force cross join, same d² filter + tie-break.
