@@ -357,6 +357,14 @@ def _q_zone_geometry_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         geom_props.zone_vertices_df(spark)).drop("vertices")
 
 
+def _q_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.props_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_clusters(_docs(spark, sf_dir), threshold=MINHASH_T)
+
+
 def _q_page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _geo_points(spark, sf_dir)
     edges = components.proximity_edges(pts, CC_RADIUS_E6)
@@ -402,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_pages": _q_knn_topk,
         "curated_documents": _q_curated_documents,
         "rect_zone_assignment": _q_rect_zone_assignment,
+        "event_props_rollup": _q_event_props_rollup,
+        "near_dup_clusters": _q_near_dup_clusters,
     }
 
 
@@ -514,6 +524,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             f"{_PAGES_CTE}\nSELECT page_id AS nb_id, lon_e6, lat_e6 FROM pages WHERE lon_e6 IS NOT NULL",
             KNN_RADIUS_E6, KNN_TOPK),
         "curated_documents": _curated_documents_oracle_sql(),
+        "event_props_rollup": windows.props_rollup_sql(),
+        "near_dup_clusters": dedup.near_dup_clusters_sql(threshold=MINHASH_T),
         "rect_zone_assignment": f"""WITH rl AS ({layers.rect_layers_values_sql()})
 SELECT rect_id,
        CAST({layers.zone_case_sql(

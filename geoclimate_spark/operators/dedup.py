@@ -172,6 +172,37 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
             .select("id_a", "id_b", "jaccard"))
 
 
+def near_dup_clusters(docs: DataFrame, threshold: float = 0.8,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Dedup end-game: MinHash-LSH near-dup pairs → connected components →
+    one canonical doc per cluster: (doc_id, component, component_size).
+    Singletons are their own component. The reference's createBlocks shape
+    (adjacency → CC → merge, `SpatialUnits.groovy:395-475`) applied to text."""
+    from .components import connected_components
+    pairs = minhash_near_duplicates(docs, threshold, id_col, text_col)
+    verts = docs.select(F.col(id_col))
+    return connected_components(verts, pairs.select("id_a", "id_b"),
+                                key=id_col)
+
+
+def near_dup_clusters_sql(threshold: float = 0.8, doc_rel: str = "documents",
+                          id_col: str = "doc_id", text_col: str = "text") -> str:
+    pairs = minhash_lsh_sql(threshold, doc_rel, id_col, text_col)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+verts AS (SELECT {id_col} AS id FROM {doc_rel}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id, id FROM verts),
+reach(src, dst) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+comp AS (SELECT src AS {id_col}, MIN(dst) AS component FROM reach GROUP BY src),
+sizes AS (SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component)
+SELECT c.{id_col}, c.component, CAST(s.component_size AS BIGINT) AS component_size
+FROM comp c JOIN sizes s USING (component)"""
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = SIMHASH_BITS,
                        k: int = K_SHINGLE) -> DataFrame:

@@ -47,6 +47,28 @@ def tumbling_window_agg_sql(window_sec: int, rel: str = "events",
 FROM {rel} GROUP BY 1, 2"""
 
 
+def props_rollup(events: DataFrame, cat: str = "event_type",
+                 props: str = "props", field: str = "k") -> DataFrame:
+    """JSON scalar extraction + rollup (SURVEY §2.9): per category, exact
+    integer stats of a JSON field from the ``props`` payload column.
+    ``get_json_object`` ⇔ DuckDB ``json_extract_string`` (parity probed)."""
+    v = F.get_json_object(F.col(props), f"$.{field}").cast("long")
+    return (events.select(F.col(cat), v.alias("_v"))
+            .groupBy(cat)
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("_v").alias(f"sum_{field}"),
+                 F.min("_v").alias(f"min_{field}"),
+                 F.max("_v").alias(f"max_{field}")))
+
+
+def props_rollup_sql(rel: str = "events", cat: str = "event_type",
+                     props: str = "props", field: str = "k") -> str:
+    v = f"CAST(json_extract_string({props}, '$.{field}') AS BIGINT)"
+    return f"""SELECT {cat}, COUNT(*) AS n_events,
+       SUM({v}) AS sum_{field}, MIN({v}) AS min_{field}, MAX({v}) AS max_{field}
+FROM {rel} GROUP BY {cat}"""
+
+
 def sessionize(events: DataFrame, gap_sec: int, user: str = "user_id",
                ts: str = "ts", id_col: str = "event_id") -> DataFrame:
     """Gap-threshold sessions per user: a new session starts when the gap to

@@ -1,0 +1,61 @@
+"""Physical-plan regression guards (docs/PLANS.md properties as tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_plan_shape(spark):
+    from geoclimate_spark.plans import flagship
+    plan = _plan(flagship.run(spark, SF))
+    assert "SortAggregate" not in plan, "string agg buffers demote to sort agg"
+    assert "BroadcastHashJoin" in plan, "zone covering must broadcast"
+    assert "ArrowEvalPython" in plan, "PIP refine must be Arrow, not batch-less"
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_scan_prunes_columns(spark):
+    from geoclimate_spark.plans import flagship
+    import re
+    df = flagship.run(spark, SF)
+    plan = _plan(df)
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    assert scans, plan[:500]
+    # the documents scan must read only doc_id/text/lang — `source` and
+    # `n_chars` are pruned (the 100TB analogue: never scan unused columns)
+    for s in scans:
+        assert "ReadSchema" in s
+        assert "source" not in s.split("ReadSchema")[1]
+        assert "n_chars" not in s.split("ReadSchema")[1]
+
+
+def test_knn_plan_no_cartesian(spark):
+    from geoclimate_spark.operators import knn
+    pts = (spark.read.parquet(f"{SF}/documents.parquet")
+           .select(F.col("doc_id").alias("page_id"),
+                   (F.col("doc_id") * 1000).alias("lon_e6"),
+                   (F.col("doc_id") * 500).alias("lat_e6")))
+    nbs = pts.select(F.col("page_id").alias("nb_id"), "lon_e6", "lat_e6")
+    plan = _plan(knn.nearest_neighbor(pts, nbs, 1_000_000))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zonal_plan_partial_aggregation(spark):
+    """Map-side combine: partial + final HashAggregate around the exchange."""
+    from geoclimate_spark.operators import zonal
+    from geoclimate_spark.sources import layers
+    rows = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select((F.col("doc_id") % 9).alias("zone_id"),
+                    F.col("n_chars").alias("v")))
+    dim = spark.createDataFrame([(z, 1.0) for z in range(9)],
+                                "zone_id long, area_deg2 double")
+    plan = _plan(zonal.unweighted_stats(rows, dim, "zone_id", "v"))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
