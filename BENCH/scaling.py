@@ -30,8 +30,12 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 _WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {root!r})
+# a real N->4N cluster scales MEMORY with executors; the single-JVM proxy
+# must do the same or the 4N run is GC-starved (2 GiB per core, as an
+# executor would get)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", str(2 * {cores}) + "g")
 from geoclimate_spark.session import get_spark
 from geoclimate_spark.plans.flagship import zone_tile_language_mix
 from geoclimate_spark.sources.pages import synth_pages
@@ -64,7 +68,10 @@ def run_level(cores: int, n: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    # default sized so the 4N-core measured run is >= ~30s: scaling
+    # efficiency of shorter jobs measures fixed per-stage overhead, not the
+    # pipeline (see BASELINE.md narrative rows)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     r_small = run_level(small, n)
