@@ -206,6 +206,10 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
 def _q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(_emb(spark, sf_dir), EMB_DUP_T)
 
@@ -394,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_raster_value": _q_page_raster,
         "ann_topk_bruteforce": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_emb_pairs,
         "event_window_agg": _q_event_windows,
         "event_sessions": _q_event_sessions,
@@ -512,6 +517,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "page_raster_value": _page_raster_oracle_sql(),
         "ann_topk_bruteforce": similarity.cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
+        "ann_topk_ivf": similarity.ivf_topk_sql(ANN_QUERY_IDS, ANN_K),
         "embedding_near_dup": similarity.cosine_pairs_sql(EMB_DUP_T),
         "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),
         "event_sessions": windows.sessionize_sql(SESSION_GAP_SEC),

@@ -191,6 +191,99 @@ def _bucket_sql(vec: str, coeffs: list[list[float]]) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+N_CENTROIDS = 8
+
+
+def centroid_coeffs(n_centroids: int, dim: int) -> list[list[float]]:
+    """±1 pseudo-centroids from md5 — the deterministic stand-in for a
+    trained k-means codebook (train offline, inline as literals)."""
+    import hashlib
+    out = []
+    for c in range(n_centroids):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"cent{c}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(float((h & 1) * 2 - 1))
+        out.append(row)
+    return out
+
+
+def _centroid_col(vec: Column, cents: list[list[float]]) -> Column:
+    dots = []
+    for row in cents:
+        arr = F.array(*[F.lit(x) for x in row])
+        dots.append(_dot(vec, arr))
+    # argmax with lowest-index tie-break (same chain as the SQL side)
+    cid = F.lit(len(cents) - 1)
+    for i in range(len(cents) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(cents)):
+            c = dots[i] >= dots[j]
+            cond = c if cond is None else (cond & c)
+        cid = F.when(cond, F.lit(i)).otherwise(cid)
+    return cid.cast("long")
+
+
+def _centroid_sql(vec: str, cents: list[list[float]]) -> str:
+    dots = []
+    for row in cents:
+        lst = "[" + ", ".join(repr(x) for x in row) + "]"
+        dots.append(_DOT_SQL.format(a=vec, b=lst))
+    cases = []
+    for i in range(len(cents) - 1):
+        conds = " AND ".join(f"({dots[i]}) >= ({dots[j]})"
+                             for j in range(i + 1, len(cents)))
+        cases.append(f"WHEN {conds} THEN {i}")
+    return ("CAST(CASE " + " ".join(cases)
+            + f" ELSE {len(cents) - 1} END AS BIGINT)")
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = N_CENTROIDS, dim: int = 64,
+             id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """IVF(-flat, single-probe) top-k: vectors are assigned to their
+    max-dot-product centroid; a query scans only its own inverted list. At
+    corpus scale the list assignment is the Iceberg partition key, so a
+    probe is a partition-pruned scan. Same output schema as cosine_topk."""
+    cents = centroid_coeffs(n_centroids, dim)
+    base = (_with_norm(emb, id_col, vec)
+            .withColumn("cluster", _centroid_col(F.col("v"), cents)))
+    q = F.broadcast(base.where(F.col("id").isin(query_ids))
+                    .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                            F.col("nrm").alias("qn"), "cluster"))
+    cand = (q.join(base, "cluster")
+            .where(F.col("id") != F.col("query_id"))
+            .select("query_id", F.col("id").alias(id_col),
+                    (_dot(F.col("qv"), F.col("v"))
+                     / (F.col("qn") * F.col("nrm"))).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col(id_col).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    id_col, "cos"))
+
+
+def ivf_topk_sql(query_ids: list[int], k: int = 5,
+                 n_centroids: int = N_CENTROIDS, dim: int = 64,
+                 rel: str = "embeddings", id_col: str = "vec_id",
+                 vec: str = "embedding") -> str:
+    cents = centroid_coeffs(n_centroids, dim)
+    ids = ", ".join(str(i) for i in query_ids)
+    nrm = _DOT_SQL.format(a=vec, b=vec)
+    cluster = _centroid_sql(vec, cents)
+    return f"""WITH base AS (SELECT {id_col} AS id, {vec}, SQRT({nrm}) AS nrm,
+       {cluster} AS cluster FROM {rel}),
+cand AS (SELECT q.id AS query_id, c.id AS {id_col},
+         {_DOT_SQL.format(a='q.' + vec, b='c.' + vec)} / (q.nrm * c.nrm) AS cos
+  FROM base q JOIN base c ON c.cluster = q.cluster AND c.id != q.id
+  WHERE q.id IN ({ids})),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, {id_col} ASC) AS rank FROM cand)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, cos
+FROM ranked WHERE rank <= {k}"""
+
+
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_planes: int = N_PLANES, dim: int = 64,
              id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
