@@ -144,6 +144,10 @@ def _q_zone_type_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _zoned_pages(spark, sf_dir), "zone_id", "lang", "chars", LANG_BUCKETS)
 
 
+def _q_zonal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.exact_median(_zoned_pages(spark, sf_dir), "zone_id", "chars")
+
+
 def _q_mode_lang_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
     g = (g.withColumn("chars", F.length("text_extracted").cast("long"))
@@ -392,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_lang_fractions": _q_zone_lang_fractions,
         "zone_type_proportion": _q_zone_type_proportion,
         "mode_lang_per_tile": _q_mode_lang_per_tile,
+        "zonal_median_chars": _q_zonal_median,
         "direction_distribution": _q_direction_distribution,
         "knn_nearest_page": _q_knn,
         "raster_zonal_stats": _q_raster_zonal,
@@ -493,6 +498,8 @@ GROUP BY lang""",
         "zonal_unweighted_chars": zonal.unweighted_stats_sql(
             _geo_rows_sql("LENGTH(text) AS chars"),
             layers.zone_dim_values_sql(), "zone_id", "chars"),
+        "zonal_median_chars": zonal.exact_median_sql(
+            _geo_rows_sql("LENGTH(text) AS chars"), "zone_id", "chars"),
         "zonal_weighted_tokens": zonal.weighted_stats_sql(
             _geo_rows_sql(
                 "LENGTH(text) AS chars",

@@ -132,6 +132,37 @@ def mode_weighted(df: DataFrame, key: str, cat_col: str, weight: str) -> DataFra
                     F.col("_w").alias("mode_weight"), F.col("_n").alias("mode_rows")))
 
 
+def exact_median(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Exact per-zone median via explicit rank arithmetic: sort by (value,
+    row-identity), average the middle one/two values. Engine medians
+    (percentile_approx, DuckDB's interpolating median) disagree across
+    implementations; rank arithmetic on exact integers does not.
+    One window sort per zone — same shuffle budget as any ranking op."""
+    w = Window.partitionBy(key).orderBy(F.col("_v").asc())
+    t = (df.select(key, F.col(value).cast("long").alias("_v"))
+         .withColumn("_rn", F.row_number().over(w))
+         .withColumn("_n", F.count("*").over(Window.partitionBy(key))))
+    mid = (t.where((F.col("_rn") * 2 == F.col("_n"))
+                   | (F.col("_rn") * 2 == F.col("_n") + 1)
+                   | (F.col("_rn") * 2 == F.col("_n") + 2)))
+    return (mid.groupBy(key)
+            .agg((F.sum("_v").cast("double") / F.count("*")).alias(f"median_{value}"),
+                 F.max("_n").alias("n_rows")))
+
+
+def exact_median_sql(rows_sql: str, key: str, value: str) -> str:
+    return f"""WITH rows_in AS ({rows_sql}),
+t AS (SELECT {key}, CAST({value} AS BIGINT) AS v,
+        ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {value} ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY {key}) AS n
+  FROM rows_in),
+mid AS (SELECT * FROM t
+  WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2)
+SELECT {key}, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS median_{value},
+       CAST(MAX(n) AS BIGINT) AS n_rows
+FROM mid GROUP BY {key}"""
+
+
 # ------------------------------------------------------------------ SQL path
 def unweighted_stats_sql(rows_sql: str, dim_values_sql: str, key: str,
                          value: str, ops: Sequence[str] = UNWEIGHTED_OPS) -> str:
