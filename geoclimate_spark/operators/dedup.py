@@ -33,8 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (hash60_col, hash60_seeded_col, hash60_sql,
-                                 hash60_seeded_sql, mix60_col, mix60_sql)
+from ..functions.hashing import hash60_col, hash60_sql, mix60_col, mix60_sql
 from ..functions.text import normalize_col, normalize_sql
 
 K_SHINGLE = 5

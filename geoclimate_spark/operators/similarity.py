@@ -85,7 +85,6 @@ def cosine_topk_sql(query_ids: list[int], k: int = 5,
                     rel: str = "embeddings", id_col: str = "vec_id",
                     vec: str = "embedding") -> str:
     ids = ", ".join(str(i) for i in query_ids)
-    dot_qc = _DOT_SQL.format(a=f"q.{vec}", b=f"c.{vec}")
     nrm = _DOT_SQL.format(a=vec, b=vec)
     return f"""WITH base AS (SELECT {id_col} AS id, {vec}, SQRT({nrm}) AS nrm FROM {rel}),
 cand AS (SELECT q.id AS query_id, c.id AS {id_col},

@@ -14,7 +14,6 @@ is a bit-shift parent + re-aggregate.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
