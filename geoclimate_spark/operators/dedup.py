@@ -42,7 +42,9 @@ LSH_BANDS = 4
 LSH_ROWS = 4
 SIMHASH_BITS = 32
 # Oracle-side shingle position bound; the driver's oracle only runs at
-# sf=0.01 where max doc length is ~600. Engine side has no bound.
+# sf=0.01 where max doc length is ~600. Engine side has no bound. The oracle
+# SQL raises a DuckDB error() if any normalized doc exceeds the bound, so a
+# fixture growth past it fails LOUDLY instead of silently diverging.
 _ORACLE_MAX_POS = 5000
 
 
@@ -247,8 +249,11 @@ def shingle_cte_sql(doc_rel: str = "documents", id_col: str = "doc_id",
                     text_col: str = "text", k: int = K_SHINGLE) -> str:
     """CTE body list producing sh(id, sh) — DuckDB mirror of shingle_df."""
     norm = normalize_sql(text_col)
+    guard = (f"CASE WHEN length({norm}) > {_ORACLE_MAX_POS} THEN "
+             f"error('oracle shingle bound {_ORACLE_MAX_POS} exceeded') "
+             f"ELSE {norm} END")
     return (
-        f"norm AS (SELECT {id_col} AS id, {norm} AS t FROM {doc_rel}),\n"
+        f"norm AS (SELECT {id_col} AS id, {guard} AS t FROM {doc_rel}),\n"
         f"series AS (SELECT i FROM generate_series(1, {_ORACLE_MAX_POS}) g(i)),\n"
         f"sh AS (SELECT DISTINCT id, substring(t, i, {k}) AS sh\n"
         f"       FROM norm JOIN series ON i <= greatest(length(t) - {k - 1}, 1))"

@@ -72,7 +72,7 @@ def direction_distribution(df: DataFrame, key: str, bin_col: Column,
 def direction_distribution_sql(rows_sql: str, key: str, bin_sql: str,
                                weight: str, n_bins: int = N_BINS) -> str:
     sel = ",\n       ".join(
-        f"SUM(CASE WHEN ({bin_sql}) = {i} THEN {weight} ELSE 0 END) AS b{i}"
+        f"CAST(SUM(CASE WHEN ({bin_sql}) = {i} THEN {weight} ELSE 0 END) AS BIGINT) AS b{i}"
         for i in range(n_bins))
     return f"WITH rows_in AS ({rows_sql})\nSELECT {key}, {sel}\nFROM rows_in GROUP BY {key}"
 

@@ -65,7 +65,7 @@ def props_rollup_sql(rel: str = "events", cat: str = "event_type",
                      props: str = "props", field: str = "k") -> str:
     v = f"CAST(json_extract_string({props}, '$.{field}') AS BIGINT)"
     return f"""SELECT {cat}, COUNT(*) AS n_events,
-       SUM({v}) AS sum_{field}, MIN({v}) AS min_{field}, MAX({v}) AS max_{field}
+       CAST(SUM({v}) AS BIGINT) AS sum_{field}, MIN({v}) AS min_{field}, MAX({v}) AS max_{field}
 FROM {rel} GROUP BY {cat}"""
 
 

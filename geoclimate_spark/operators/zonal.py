@@ -50,9 +50,14 @@ def unweighted_stats(df: DataFrame, dim: DataFrame, key: str, value: str,
     the reference's RIGHT JOIN + COALESCE(0) contract.
     """
     v = F.col(value).cast("long")
-    agg = df.groupBy(key).agg(
-        F.count("*").alias("_n"), F.sum(v).alias("_sx"),
-        F.sum(v * v).alias("_sx2"), F.sum(F.log(v.cast("double"))).alias("_sln"))
+    aggs = [F.count("*").alias("_n"), F.sum(v).alias("_sx"),
+            F.sum(v * v).alias("_sx2")]
+    if "geom_avg" in ops:
+        # guard v>0 identically on both sides: Spark's log(0) yields NULL
+        # (silently dropped from the sum) while DuckDB's LN(0) raises — the
+        # CASE guard makes both engines skip non-positive values explicitly.
+        aggs.append(F.sum(F.when(v > 0, F.log(v.cast("double")))).alias("_sln"))
+    agg = df.groupBy(key).agg(*aggs)
     j = dim.join(agg, key, "left")
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
@@ -178,10 +183,12 @@ def unweighted_stats_sql(rows_sql: str, dim_values_sql: str, key: str,
         "nb_dens": "COALESCE(CAST(_n AS DOUBLE) / area_deg2, 0.0)",
     }
     sel = ",\n       ".join(f"{exprs[o]} AS {o}_{value}" for o in ops)
+    sln = (f",\n        SUM(CASE WHEN {value} > 0 THEN LN(CAST({value} AS DOUBLE)) END) AS _sln"
+           if "geom_avg" in ops else "")
     return f"""WITH rows_in AS ({rows_sql}),
 dim AS ({dim_values_sql}),
 agg AS (SELECT {key}, COUNT(*) AS _n, SUM({value}) AS _sx,
-        SUM({value} * {value}) AS _sx2, SUM(LN(CAST({value} AS DOUBLE))) AS _sln
+        SUM({value} * {value}) AS _sx2{sln}
         FROM rows_in GROUP BY {key})
 SELECT dim.*, {sel}
 FROM dim LEFT JOIN agg USING ({key})"""
