@@ -218,6 +218,10 @@ def _q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(_emb(spark, sf_dir), EMB_DUP_T)
 
 
+def _q_emb_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs_lsh(_emb(spark, sf_dir), EMB_DUP_T)
+
+
 WINDOW_SEC = 3600
 SESSION_GAP_SEC = 600
 CC_RADIUS_E6 = 50_000  # 0.05 degrees — urban-block scale
@@ -405,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_emb_pairs,
+        "embedding_near_dup_lsh": _q_emb_pairs_lsh,
         "event_window_agg": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "page_components": _q_page_components,
@@ -526,6 +531,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "ann_topk_lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_ivf": similarity.ivf_topk_sql(ANN_QUERY_IDS, ANN_K),
         "embedding_near_dup": similarity.cosine_pairs_sql(EMB_DUP_T),
+        "embedding_near_dup_lsh": similarity.cosine_pairs_lsh_sql(EMB_DUP_T),
         "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),
         "event_sessions": windows.sessionize_sql(SESSION_GAP_SEC),
         "media_metadata": media.media_metadata_oracle_sql(),

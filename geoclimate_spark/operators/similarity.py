@@ -113,53 +113,136 @@ def _fold_dots(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
 
 
 def cosine_pairs(emb: DataFrame, threshold: float, id_col: str = "vec_id",
-                 vec: str = "embedding") -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold — embedding near-dup
-    detection.
+                 vec: str = "embedding", n_blocks: int = 8) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — EXACT embedding
+    near-dup detection, fully distributed (nothing touches the driver).
 
-    Physical strategy: one side is collected to the driver (n×d float64 —
-    MBs up to ~10^6 vectors) and closure-broadcast; ``mapInPandas`` streams
-    the other side and evaluates a block of pairs per Arrow batch with the
-    order-preserving fold — no 12.5M-row joined intermediate ever exists,
-    only the ≥threshold pairs are emitted. Beyond broadcastable corpus
-    sizes, LSH-bucket first (``lsh_topk`` machinery) and run this within
-    buckets. Bit-identical to the brute-force SQL oracle.
+    Physical strategy — triangular block-pairing: vectors are hashed into
+    ``n_blocks`` disjoint blocks by id; the G·(G+1)/2 unordered block pairs
+    become independent tasks (a broadcast task list joined on the block id),
+    and each task evaluates its |A|×|B| cross block vectorized in one Arrow
+    group (``applyInPandas``), emitting only the ≥threshold pairs. Every
+    unordered vector pair lands in exactly one task, so the result is exact.
+    Replication is G+1 copies per vector; at cluster scale pick
+    G ≈ sqrt(2·cores) so tasks saturate the executors while each block stays
+    memory-resident. Exact all-pairs is inherently O(n²) compute — beyond
+    ~10^7 vectors use :func:`cosine_pairs_lsh`, which prunes candidates with
+    banded hyperplane buckets. Bit-identical to the brute-force SQL oracle
+    (per-dimension fold, see :func:`_fold_dots`).
     """
     import numpy as np
     import pandas as pd
 
-    rows = (emb.select(F.col(id_col).cast("long"), vec)
-            .orderBy(id_col).collect())
-    ids_b = np.array([r[0] for r in rows], dtype=np.int64)
-    B = np.array([r[1] for r in rows], dtype=np.float64)
-    nb = np.zeros(len(B), dtype=np.float64)
-    for d in range(B.shape[1]):
-        nb += B[:, d] * B[:, d]
-    nb = np.sqrt(nb)
-
-    out_schema = f"id_a long, id_b long, cos double"
-
-    def run(batches):
-        for b in batches:
-            ids_a = b[id_col].to_numpy(np.int64)
-            A = np.array([np.asarray(v, dtype=np.float64) for v in b[vec]])
-            na = np.zeros(len(A), dtype=np.float64)
-            for d in range(A.shape[1]):
-                na += A[:, d] * A[:, d]
-            na = np.sqrt(na)
-            cos = _fold_dots(A, B) / (na[:, None] * nb[None, :])
-            ia, ib = np.nonzero((cos >= threshold)
-                                & (ids_a[:, None] < ids_b[None, :]))
-            yield pd.DataFrame({"id_a": ids_a[ia], "id_b": ids_b[ib],
-                                "cos": cos[ia, ib]})
-
-    # spread the streamed side across workers — the source is often a single
-    # parquet file which would otherwise serialize the whole block loop
     spark = emb.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return (emb.select(F.col(id_col).cast("long").alias(id_col), vec)
-            .repartition(n_parts, id_col)
-            .mapInPandas(run, out_schema))
+    G = n_blocks
+    tasks = spark.createDataFrame(
+        [(i, j) for i in range(G) for j in range(i, G)], "ga long, gb long")
+    base = emb.select(F.col(id_col).cast("long").alias("id"),
+                      F.col(vec).alias("v"),
+                      F.pmod(F.col(id_col).cast("long"), F.lit(G)).alias("g"))
+    side_a = (base.join(F.broadcast(tasks), F.col("g") == F.col("ga"))
+              .select("ga", "gb", "id", "v", F.lit(0).alias("side")))
+    side_b = (base.join(F.broadcast(tasks), F.col("g") == F.col("gb"))
+              .select("ga", "gb", "id", "v", F.lit(1).alias("side")))
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        diag = pdf["ga"].iat[0] == pdf["gb"].iat[0]
+        pa = pdf[pdf["side"] == 0]
+        pb = pdf[pdf["side"] == 1]
+        if pa.empty or pb.empty:
+            return pd.DataFrame({"id_a": np.array([], np.int64),
+                                 "id_b": np.array([], np.int64),
+                                 "cos": np.array([], np.float64)})
+        ids_a = pa["id"].to_numpy(np.int64)
+        ids_b = pb["id"].to_numpy(np.int64)
+        A = np.array([np.asarray(x, dtype=np.float64) for x in pa["v"]])
+        B = np.array([np.asarray(x, dtype=np.float64) for x in pb["v"]])
+        na = np.zeros(len(A), dtype=np.float64)
+        nb = np.zeros(len(B), dtype=np.float64)
+        for d in range(A.shape[1]):
+            na += A[:, d] * A[:, d]
+            nb += B[:, d] * B[:, d]
+        na, nb = np.sqrt(na), np.sqrt(nb)
+        cos = _fold_dots(A, B) / (na[:, None] * nb[None, :])
+        mask = cos >= threshold
+        if diag:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ia, ib = np.nonzero(mask)
+        xa, xb = ids_a[ia], ids_b[ib]
+        lo, hi = np.minimum(xa, xb), np.maximum(xa, xb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[ia, ib]})
+
+    return (side_a.unionByName(side_b)
+            .groupBy("ga", "gb")
+            .applyInPandas(run, "id_a long, id_b long, cos double"))
+
+
+def _band_plane_coeffs(n_bands: int, planes_per_band: int,
+                       dim: int) -> list[list[list[float]]]:
+    """Per-band ±1 hyperplanes: band b uses planes [b·p, (b+1)·p) of the
+    shared md5-derived family — deterministic everywhere."""
+    flat = plane_coeffs(n_bands * planes_per_band, dim)
+    return [flat[b * planes_per_band:(b + 1) * planes_per_band]
+            for b in range(n_bands)]
+
+
+def cosine_pairs_lsh(emb: DataFrame, threshold: float, n_bands: int = 4,
+                     planes_per_band: int = 6, dim: int = 64,
+                     id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs — the 10^12-row scale path.
+
+    Same filter-and-refine shape as :func:`~geoclimate_spark.operators.dedup.
+    minhash_near_duplicates`: candidates are id pairs sharing a sign bucket
+    in ANY of ``n_bands`` independent hyperplane bands (recall grows with
+    bands, candidate volume shrinks with planes_per_band), then an exact
+    cosine verify keeps pairs ≥ threshold. Entirely JVM column expressions —
+    the band join ships only (band, bucket, id), never vectors; vectors are
+    fetched per *candidate* via two id equi-joins. The candidate generation
+    is deterministic (md5-derived ±1 planes inlined as literals on both
+    sides), so LSH recall behavior itself is oracle-checked, not just the
+    final pair list.
+    """
+    bands = _band_plane_coeffs(n_bands, planes_per_band, dim)
+    base = _with_norm(emb, id_col, vec)
+    keyed = [base.select("id", F.lit(b).alias("band"),
+                         _bucket_col(F.col("v"), coeffs).alias("bk"))
+             for b, coeffs in enumerate(bands)]
+    bl = keyed[0]
+    for f in keyed[1:]:
+        bl = bl.unionByName(f)
+    a, b = bl.alias("a"), bl.alias("b")
+    cand = (a.join(b, ["band", "bk"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    (_dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb"))).alias("cos"))
+            .where(F.col("cos") >= F.lit(threshold)))
+
+
+def cosine_pairs_lsh_sql(threshold: float, n_bands: int = 4,
+                         planes_per_band: int = 6, dim: int = 64,
+                         rel: str = "embeddings", id_col: str = "vec_id",
+                         vec: str = "embedding") -> str:
+    bands = _band_plane_coeffs(n_bands, planes_per_band, dim)
+    nrm = _DOT_SQL.format(a=vec, b=vec)
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, {_bucket_sql(vec, coeffs)} AS bk FROM base"
+        for b, coeffs in enumerate(bands))
+    dot = _DOT_SQL.format(a=f"a.{vec}", b=f"b.{vec}")
+    return f"""WITH base AS (SELECT {id_col} AS id, {vec}, SQRT({nrm}) AS nrm FROM {rel}),
+bl AS ({band_selects}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bl a JOIN bl b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id)
+SELECT c.id_a, c.id_b, {dot} / (a.nrm * b.nrm) AS cos
+FROM cand c JOIN base a ON a.id = c.id_a JOIN base b ON b.id = c.id_b
+WHERE {dot} / (a.nrm * b.nrm) >= {threshold}"""
 
 
 def cosine_pairs_sql(threshold: float, rel: str = "embeddings",

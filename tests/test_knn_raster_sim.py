@@ -86,6 +86,48 @@ def test_cosine_pairs(spark, duck):
     assert (got.cos >= 0.4).all()
 
 
+def test_cosine_pairs_plan_only_no_driver_job(spark):
+    """Constructing the exact all-pairs plan must not run ANY Spark job —
+    i.e. no corpus collect() to the driver (the round-1 scale-killer)."""
+    sc = spark.sparkContext
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sc.setJobGroup("plan-only-guard", "no job may run during plan construction")
+    try:
+        df = similarity.cosine_pairs(emb, threshold=0.4)
+        df2 = similarity.cosine_pairs_lsh(emb, threshold=0.4)
+        assert sc.statusTracker().getJobIdsForGroup("plan-only-guard") == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert df.columns == ["id_a", "id_b", "cos"]
+    assert df2.columns == ["id_a", "id_b", "cos"]
+
+
+def test_cosine_pairs_lsh(spark, duck):
+    """Banded-LSH pairs hash-match the banded oracle, and (being a pruned
+    candidate set) are a subset of the exact all-pairs result."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = _cmp(similarity.cosine_pairs_lsh(emb, threshold=0.4), duck,
+               similarity.cosine_pairs_lsh_sql(threshold=0.4), ["id_a", "id_b"])
+    exact = similarity.cosine_pairs(emb, threshold=0.4).toPandas()
+    exact_keys = set(zip(exact.id_a, exact.id_b))
+    assert set(zip(got.id_a, got.id_b)) <= exact_keys
+    assert (got.cos >= 0.4).all()
+
+
+def test_cosine_pairs_lsh_finds_planted_duplicates(spark):
+    """An exact copy has identical signs in every band → must be found."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3]
+    copies = (emb.where(F.col("vec_id").isin(qids))
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      "embedding", "label"))
+    got = similarity.cosine_pairs_lsh(emb.unionByName(copies),
+                                      threshold=0.999).toPandas()
+    found = set(zip(got.id_a, got.id_b))
+    for q in qids:
+        assert (q, q + 100000) in found
+
+
 def test_lsh_topk_matches_oracle_and_recall(spark, duck):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     qids = [0, 1, 2, 3]
