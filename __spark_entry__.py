@@ -282,9 +282,8 @@ SURFACE_PRIORITY = ["water", "builtup", "veg"]
 
 def _q_surface_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-zone overlay of synthetic land-cover rect layers → priority-
-    resolved exclusive fractions. No SQL oracle (arrangement-based overlay,
-    like the reference's native ST_POLYGONIZE) — pytest-verified invariants;
-    the driver records the rows-only check."""
+    resolved exclusive fractions. Oracled: the sorted-edge atom grid is
+    reconstructed in DuckDB (overlay.overlay_rect_layers_sql)."""
     zones = raster.zone_bounds_df(spark)
     combos = overlay.overlay_rect_layers(
         zones, layers.rect_layers_df(spark), list(layers.RECT_LAYER_NAMES))
@@ -293,15 +292,29 @@ def _q_surface_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      SURFACE_PRIORITY)
 
 
+def _q_overlay_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw overlay atoms rolled up per (zone, layer-combo) — the
+    smallestCommunGeometry analogue itself, hash-checked at the combo level."""
+    zones = raster.zone_bounds_df(spark)
+    return overlay.overlay_rect_layers(
+        zones, layers.rect_layers_df(spark), list(layers.RECT_LAYER_NAMES))
+
+
+DISSOLVE_BUFFER_E6 = 25_000
+
+
 def _q_component_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocks dissolve: CC labels joined back to points, hull per component.
-    No SQL oracle (iterative CC + hull); rows-only check."""
+    """TRUE blocks dissolve: CC labels joined back to points, exact
+    union-of-buffered-squares area per component (no hull overstatement).
+    Oracled end-to-end: recursive-CTE CC + per-component atom grid."""
     pts = _geo_points(spark, sf_dir)
     edges = components.proximity_edges(pts, CC_RADIUS_E6)
     cc = components.connected_components(pts.select("page_id"), edges,
                                          key="page_id")
     labeled = pts.join(cc.select("page_id", "component"), "page_id")
-    return overlay.dissolve_components(labeled)
+    return (overlay.dissolve_components(labeled, DISSOLVE_BUFFER_E6,
+                                        with_hull=False)
+            .drop("hull_area"))
 
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_classification": _q_zone_classification,
         "tile_lod_rollup": _q_tile_lod,
         "zone_surface_fractions": _q_surface_fractions,
+        "zone_overlay_combos": _q_overlay_combos,
         "component_dissolve": _q_component_dissolve,
         "zone_geometry_props": _q_zone_geometry_props,
         "road_zone_stats": _q_road_zone_stats,
@@ -584,4 +598,24 @@ FROM pages JOIN centers ON centers.zone_id = CAST({zone} AS BIGINT)
 WHERE lon_e6 IS NOT NULL""",
                 "zone_id", dist_op.octant_bin_sql("dx", "dy"), "chars"),
             "zone_id", [f"b{i}" for i in range(8)]),
+        "zone_overlay_combos": _overlay_combos_oracle_sql(),
+        "zone_surface_fractions": overlay.surface_fractions_sql(
+            _overlay_combos_oracle_sql(), raster.zone_bounds_values_sql(),
+            list(layers.RECT_LAYER_NAMES), SURFACE_PRIORITY),
+        "component_dissolve": overlay.dissolve_components_sql(
+            "SELECT page_id, component FROM ("
+            + components.connected_components_sql(
+                f"{_PAGES_CTE}\nSELECT page_id, lon_e6, lat_e6 FROM pages"
+                " WHERE lon_e6 IS NOT NULL", CC_RADIUS_E6) + ")",
+            f"{_PAGES_CTE}\nSELECT page_id, lon_e6, lat_e6 FROM pages"
+            " WHERE lon_e6 IS NOT NULL",
+            DISSOLVE_BUFFER_E6),
     }
+
+
+def _overlay_combos_oracle_sql() -> str:
+    return overlay.overlay_rect_layers_sql(
+        raster.zone_bounds_values_sql(),
+        f"SELECT layer, lon0, lat0, lon1, lat1 FROM"
+        f" ({layers.rect_layers_values_sql()}) r",
+        list(layers.RECT_LAYER_NAMES))

@@ -17,10 +17,12 @@ the arrangement exact: atoms are the cells of the sorted-coordinate grid of
 all rect edges clipped to the zone, flags are interval-containment tests,
 areas are exact bigint µ°² — deterministic regardless of partitioning.
 
-No SQL oracle (the arrangement is not reasonably SQL-expressible — the
-reference equally leans on the H2GIS native ST_POLYGONIZE here); correctness
-is pytest-verified by invariants (Σ atom areas == zone area) and an
-independent Monte-Carlo containment oracle.
+For axis-aligned rect layers the atom grid IS SQL-expressible: the
+``*_sql`` builders below reconstruct the sorted-edge atom grid in DuckDB
+(per-zone distinct edge coordinates → consecutive-pair cells via
+``ROW_NUMBER`` self-join → interval-containment flags) so the driver
+hash-checks the overlay end-to-end. pytest additionally verifies the
+invariants (Σ atom areas == zone area, Monte-Carlo containment).
 """
 
 from __future__ import annotations
@@ -107,6 +109,71 @@ def overlay_rect_layers(zones: DataFrame, rects: DataFrame,
     return cand.groupBy("zone_id").applyInPandas(run, COMBO_SCHEMA)
 
 
+def _layer_bit_case(layer_col: str, layer_names: list[str]) -> str:
+    whens = " ".join(f"WHEN '{n}' THEN {1 << i}"
+                     for i, n in enumerate(layer_names))
+    return f"CASE {layer_col} {whens} END"
+
+
+def overlay_rect_layers_sql(zones_sql: str, rects_sql: str,
+                            layer_names: list[str]) -> str:
+    """DuckDB mirror of :func:`overlay_rect_layers` — the sorted-edge atom
+    grid in SQL. ``zones_sql`` selects (zone_id, zlon0, zlat0, zlon1, zlat1)
+    BIGINT; ``rects_sql`` selects (layer, lon0, lat0, lon1, lat1) BIGINT."""
+    bit = _layer_bit_case("r.layer", layer_names)
+    return f"""WITH zones AS ({zones_sql}),
+rl AS ({rects_sql}),
+cand AS (SELECT z.zone_id, r.layer,
+       GREATEST(r.lon0, z.zlon0) AS rx0, GREATEST(r.lat0, z.zlat0) AS ry0,
+       LEAST(r.lon1, z.zlon1) AS rx1, LEAST(r.lat1, z.zlat1) AS ry1
+  FROM zones z JOIN rl r ON r.lon0 < z.zlon1 AND r.lon1 > z.zlon0
+   AND r.lat0 < z.zlat1 AND r.lat1 > z.zlat0),
+xs AS (SELECT zone_id, zlon0 AS x FROM zones UNION SELECT zone_id, zlon1 FROM zones
+  UNION SELECT zone_id, rx0 FROM cand UNION SELECT zone_id, rx1 FROM cand),
+xs2 AS (SELECT zone_id, x, ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY x) AS i FROM xs),
+xc AS (SELECT a.zone_id, a.x AS ax0, b.x AS ax1
+  FROM xs2 a JOIN xs2 b ON a.zone_id = b.zone_id AND b.i = a.i + 1),
+ys AS (SELECT zone_id, zlat0 AS y FROM zones UNION SELECT zone_id, zlat1 FROM zones
+  UNION SELECT zone_id, ry0 FROM cand UNION SELECT zone_id, ry1 FROM cand),
+ys2 AS (SELECT zone_id, y, ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY y) AS i FROM ys),
+yc AS (SELECT a.zone_id, a.y AS ay0, b.y AS ay1
+  FROM ys2 a JOIN ys2 b ON a.zone_id = b.zone_id AND b.i = a.i + 1),
+atoms AS (SELECT xc.zone_id, ax0, ax1, ay0, ay1
+  FROM xc JOIN yc ON xc.zone_id = yc.zone_id),
+flagged AS (SELECT a.zone_id, a.ax0, a.ax1, a.ay0, a.ay1,
+       CAST(COALESCE(SUM(DISTINCT {bit}), 0) AS BIGINT) AS combo
+  FROM atoms a LEFT JOIN cand r ON r.zone_id = a.zone_id
+   AND a.ax0 >= r.rx0 AND a.ax0 < r.rx1 AND a.ay0 >= r.ry0 AND a.ay0 < r.ry1
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT zone_id, combo, CAST(SUM((ax1 - ax0) * (ay1 - ay0)) AS BIGINT) AS area_e6sq,
+       COUNT(*) AS n_atoms
+FROM flagged GROUP BY zone_id, combo"""
+
+
+def surface_fractions_sql(combos_sql: str, zones_sql: str,
+                          layer_names: list[str], priority: list[str]) -> str:
+    """DuckDB mirror of :func:`surface_fractions` over an overlay combos
+    relation (zone_id, combo, area_e6sq)."""
+    whens = " ".join(
+        f"WHEN (combo & {1 << layer_names.index(n)}) != 0 THEN '{n}'"
+        for n in priority)
+    attr = f"CASE {whens} ELSE 'undefined' END"
+    names = priority + ["undefined"]
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN attr = '{n}' THEN area_e6sq ELSE 0 END) AS a_{n}"
+        for n in names)
+    fracs = ",\n       ".join(
+        f"COALESCE(CAST(a_{n} AS DOUBLE), 0.0)"
+        f" / CAST((zlon1 - zlon0) * (zlat1 - zlat0) AS DOUBLE) AS frac_{n}"
+        for n in names)
+    return f"""WITH combos AS ({combos_sql}),
+zones AS ({zones_sql}),
+attrd AS (SELECT zone_id, {attr} AS attr, area_e6sq FROM combos),
+per AS (SELECT zone_id, {sums} FROM attrd GROUP BY zone_id)
+SELECT z.zone_id, {fracs}
+FROM zones z LEFT JOIN per USING (zone_id)"""
+
+
 def surface_fractions(combos: DataFrame, zones: DataFrame,
                       layer_names: list[str],
                       priority: list[str]) -> DataFrame:
@@ -136,6 +203,7 @@ HULL_SCHEMA = T.StructType([
     T.StructField("component", T.LongType()),
     T.StructField("n_points", T.LongType()),
     T.StructField("hull_area", T.DoubleType()),
+    T.StructField("union_area_e6sq", T.LongType()),
     T.StructField("lon_min", T.LongType()),
     T.StructField("lat_min", T.LongType()),
     T.StructField("lon_max", T.LongType()),
@@ -143,26 +211,105 @@ HULL_SCHEMA = T.StructType([
 ])
 
 
-def dissolve_components(labeled_points: DataFrame) -> DataFrame:
-    """Per-component dissolve (`ST_UNION(ST_ACCUM(...))` analogue,
-    `SpatialUnits.groovy:436-451`): convex hull area (degrees²) + bbox of
-    each component's points. Grouped applyInPandas — the per-group work is
-    O(n log n) hull on the component's own points only."""
+def _union_rect_area(x0: np.ndarray, y0: np.ndarray,
+                     x1: np.ndarray, y1: np.ndarray) -> int:
+    """Exact int64 area of a union of axis-aligned rects — the classic
+    x-sweep: for each slab between consecutive distinct x edges, merge the
+    y intervals of the rects spanning it. O(slabs · n log n)."""
+    xs = np.unique(np.concatenate([x0, x1]))
+    total = 0
+    for i in range(len(xs) - 1):
+        w = int(xs[i + 1] - xs[i])
+        act = (x0 <= xs[i]) & (x1 > xs[i])
+        if not act.any():
+            continue
+        ys0, ys1 = y0[act], y1[act]
+        order = np.argsort(ys0, kind="stable")
+        ys0, ys1 = ys0[order], ys1[order]
+        covered = 0
+        cur0, cur1 = int(ys0[0]), int(ys1[0])
+        for a, b in zip(ys0[1:], ys1[1:]):
+            if a > cur1:
+                covered += cur1 - cur0
+                cur0, cur1 = int(a), int(b)
+            elif b > cur1:
+                cur1 = int(b)
+        covered += cur1 - cur0
+        total += w * covered
+    return total
+
+
+def dissolve_components(labeled_points: DataFrame,
+                        buffer_e6: int = 25_000,
+                        with_hull: bool = True) -> DataFrame:
+    """Per-component TRUE dissolve (`ST_UNION(ST_ACCUM(...))` analogue,
+    `SpatialUnits.groovy:436-451`): each point is buffered to an axis-aligned
+    square of half-side ``buffer_e6`` and the component's squares are merged
+    into their exact union area (integer µ°² sweep — no hull overstatement
+    for concave clusters), plus bbox and optional convex hull area. Grouped
+    applyInPandas — per-group work is bounded by the component's own points.
+    The union area is SQL-expressible (sorted-edge atom grid), so the driver
+    oracle checks the dissolve end-to-end including the CC labels feeding it.
+    """
     from .. import geometry
 
     def run(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for g in groups:
             lon = g["lon_e6"].to_numpy(np.int64)
             lat = g["lat_e6"].to_numpy(np.int64)
-            pts = np.column_stack([lon / 1e6, lat / 1e6])
-            hull = geometry.convex_hull(pts) if len(pts) >= 3 else pts
-            area = geometry.poly_area(hull) if len(hull) >= 3 else 0.0
+            if with_hull:
+                pts = np.column_stack([lon / 1e6, lat / 1e6])
+                hull = geometry.convex_hull(pts) if len(pts) >= 3 else pts
+                area = geometry.poly_area(hull) if len(hull) >= 3 else 0.0
+            else:
+                area = 0.0
+            ua = _union_rect_area(lon - buffer_e6, lat - buffer_e6,
+                                  lon + buffer_e6, lat + buffer_e6)
             yield pd.DataFrame([{
                 "component": int(g["component"].iloc[0]),
                 "n_points": len(g),
                 "hull_area": float(area),
+                "union_area_e6sq": int(ua),
                 "lon_min": int(lon.min()), "lat_min": int(lat.min()),
                 "lon_max": int(lon.max()), "lat_max": int(lat.max()),
             }])
 
     return labeled_points.groupBy("component").applyInPandas(run, HULL_SCHEMA)
+
+
+def dissolve_components_sql(comp_sql: str, points_sql: str,
+                            buffer_e6: int = 25_000,
+                            key: str = "page_id") -> str:
+    """DuckDB mirror of the SQL-expressible dissolve columns: per component
+    n_points, exact union-of-squares area (atom grid per component), bbox.
+    ``comp_sql`` selects (key, component); ``points_sql`` (key, lon_e6,
+    lat_e6) — both BIGINT."""
+    return f"""WITH comp AS ({comp_sql}),
+pts AS ({points_sql}),
+sq AS (SELECT c.component, p.{key},
+       p.lon_e6 - {buffer_e6} AS x0, p.lat_e6 - {buffer_e6} AS y0,
+       p.lon_e6 + {buffer_e6} AS x1, p.lat_e6 + {buffer_e6} AS y1,
+       p.lon_e6, p.lat_e6
+  FROM pts p JOIN comp c ON c.{key} = p.{key}),
+xs AS (SELECT component, x0 AS x FROM sq UNION SELECT component, x1 FROM sq),
+xs2 AS (SELECT component, x, ROW_NUMBER() OVER (PARTITION BY component ORDER BY x) AS i FROM xs),
+xc AS (SELECT a.component, a.x AS ax0, b.x AS ax1
+  FROM xs2 a JOIN xs2 b ON a.component = b.component AND b.i = a.i + 1),
+ys AS (SELECT component, y0 AS y FROM sq UNION SELECT component, y1 FROM sq),
+ys2 AS (SELECT component, y, ROW_NUMBER() OVER (PARTITION BY component ORDER BY y) AS i FROM ys),
+yc AS (SELECT a.component, a.y AS ay0, b.y AS ay1
+  FROM ys2 a JOIN ys2 b ON a.component = b.component AND b.i = a.i + 1),
+atoms AS (SELECT xc.component, ax0, ax1, ay0, ay1
+  FROM xc JOIN yc ON xc.component = yc.component),
+cov AS (SELECT a.* FROM atoms a WHERE EXISTS (
+    SELECT 1 FROM sq s WHERE s.component = a.component
+     AND a.ax0 >= s.x0 AND a.ax0 < s.x1 AND a.ay0 >= s.y0 AND a.ay0 < s.y1)),
+ua AS (SELECT component, CAST(SUM((ax1 - ax0) * (ay1 - ay0)) AS BIGINT) AS union_area_e6sq
+  FROM cov GROUP BY component),
+stats AS (SELECT component, COUNT(*) AS n_points,
+       MIN(lon_e6) AS lon_min, MIN(lat_e6) AS lat_min,
+       MAX(lon_e6) AS lon_max, MAX(lat_e6) AS lat_max
+  FROM sq GROUP BY component)
+SELECT s.component, s.n_points, u.union_area_e6sq,
+       s.lon_min, s.lat_min, s.lon_max, s.lat_max
+FROM stats s JOIN ua u USING (component)"""
