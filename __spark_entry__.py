@@ -24,7 +24,7 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import (classify, components, knn, overlay,
+from geoclimate_spark.operators import (classify, components, facade, knn, overlay,
                                         raster, roads, similarity, windows,
                                         zonal)
 from geoclimate_spark.sources import media
@@ -317,6 +317,43 @@ def _q_component_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("hull_area"))
 
 
+FACADE_BUFFER_E6 = 25_000
+
+
+def _q_facade_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """projectedFacadeAreaDistribution analogue: party-wall pairwise
+    intersect → free-facade interval union → segment explode → layer clip →
+    2-D (direction × layer) pivot per zone."""
+    return facade.facade_area_distribution(
+        _zoned_pages(spark, sf_dir), raster.zone_bounds_df(spark),
+        FACADE_BUFFER_E6)
+
+
+def _q_frontal_area_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fac = facade.facade_area_distribution(
+        _zoned_pages(spark, sf_dir), raster.zone_bounds_df(spark),
+        FACADE_BUFFER_E6)
+    return facade.frontal_area_index(fac, raster.zone_bounds_df(spark))
+
+
+def _q_roof_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roofFractionDistributionExact analogue: overlap-free per-layer roof
+    area via the per-zone atom arrangement, tallest-wins attribution."""
+    return facade.roof_layer_distribution_exact(
+        _zoned_pages(spark, sf_dir), FACADE_BUFFER_E6)
+
+
+def _q_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta self-join on attribute order: spatial candidates + h_a >= h_b."""
+    return facade.theta_contact_pairs(_zoned_pages(spark, sf_dir),
+                                      FACADE_BUFFER_E6)
+
+
+def _facade_pages_sql() -> str:
+    return _geo_rows_sql("page_id", "lon_e6", "lat_e6",
+                         "LENGTH(text) AS chars")
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize media binaries, then decode metadata FROM THE BYTES —
     the oracle recomputes the same fields from doc_id arithmetic."""
@@ -433,6 +470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_surface_fractions": _q_surface_fractions,
         "zone_overlay_combos": _q_overlay_combos,
         "component_dissolve": _q_component_dissolve,
+        "facade_area_distribution": _q_facade_distribution,
+        "frontal_area_index": _q_frontal_area_index,
+        "roof_area_distribution_exact": _q_roof_distribution,
+        "theta_contact_pairs": _q_theta_pairs,
         "zone_geometry_props": _q_zone_geometry_props,
         "road_zone_stats": _q_road_zone_stats,
         "zone_rect_pair_areas": _q_pair_areas,
@@ -598,6 +639,18 @@ FROM pages JOIN centers ON centers.zone_id = CAST({zone} AS BIGINT)
 WHERE lon_e6 IS NOT NULL""",
                 "zone_id", dist_op.octant_bin_sql("dx", "dy"), "chars"),
             "zone_id", [f"b{i}" for i in range(8)]),
+        "facade_area_distribution": facade.facade_area_distribution_sql(
+            _facade_pages_sql(), raster.zone_bounds_values_sql(),
+            FACADE_BUFFER_E6),
+        "frontal_area_index": facade.frontal_area_index_sql(
+            facade.facade_area_distribution_sql(
+                _facade_pages_sql(), raster.zone_bounds_values_sql(),
+                FACADE_BUFFER_E6),
+            raster.zone_bounds_values_sql()),
+        "roof_area_distribution_exact": facade.roof_layer_distribution_exact_sql(
+            _facade_pages_sql(), FACADE_BUFFER_E6),
+        "theta_contact_pairs": facade.theta_contact_pairs_sql(
+            _facade_pages_sql(), FACADE_BUFFER_E6),
         "zone_overlay_combos": _overlay_combos_oracle_sql(),
         "zone_surface_fractions": overlay.surface_fractions_sql(
             _overlay_combos_oracle_sql(), raster.zone_bounds_values_sql(),
