@@ -24,7 +24,8 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import (classify, components, facade, knn, overlay,
+from geoclimate_spark.operators import (classify, components, facade, knn,
+                                        overlay, smbr,
                                         raster, roads, similarity, windows,
                                         zonal)
 from geoclimate_spark.sources import media
@@ -317,6 +318,46 @@ def _q_component_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("hull_area"))
 
 
+def _q_smbr_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMBR-azimuth direction distribution: per page-block component the
+    exact minimum-area enclosing rectangle (pair-direction scan), its two
+    side lengths summed into 30-degree azimuth bins per zone, then Perkins
+    characterization."""
+    zp = _zoned_pages(spark, sf_dir)
+    pts = zp.select("page_id", "lon_e6", "lat_e6")
+    edges = components.proximity_edges(pts, CC_RADIUS_E6)
+    cc = components.connected_components(pts.select("page_id"), edges,
+                                         key="page_id")
+    comp_pts = (pts.join(cc.select("page_id", "component"), "page_id")
+                .select("component", F.col("page_id").alias("pid"),
+                        F.col("lon_e6").alias("x"), F.col("lat_e6").alias("y")))
+    weights = smbr.smbr_direction_weights(smbr.smbr_per_component(comp_pts))
+    zone_of = zp.select(F.col("page_id").alias("component"), "zone_id")
+    rows = weights.join(zone_of, "component")
+    d = dist_op.direction_distribution(rows, "zone_id", F.col("bin"), "w",
+                                       n_bins=smbr.N_BINS)
+    return dist_op.characterize_distribution(
+        d, "zone_id", [f"b{i}" for i in range(smbr.N_BINS)])
+
+
+def _smbr_oracle_sql() -> str:
+    pts_sql = (f"{_PAGES_CTE}\nSELECT page_id, lon_e6, lat_e6 FROM pages"
+               " WHERE lon_e6 IS NOT NULL")
+    cc_sql = components.connected_components_sql(pts_sql, CC_RADIUS_E6)
+    comp_pts_sql = (f"SELECT c.component, p.page_id AS pid,"
+                    f" p.lon_e6 AS x, p.lat_e6 AS y"
+                    f" FROM ({cc_sql}) c JOIN ({pts_sql}) p USING (page_id)")
+    zone = layers.zone_case_sql("lon_e6", "lat_e6")
+    rows_sql = f"""WITH wts AS ({smbr.smbr_sql(comp_pts_sql)}),
+zs AS ({pts_sql.replace("SELECT page_id, lon_e6, lat_e6",
+                        f"SELECT page_id, CAST({zone} AS BIGINT) AS zone_id")})
+SELECT zs.zone_id, wts.bin, wts.w FROM wts JOIN zs ON zs.page_id = wts.component"""
+    return dist_op.characterize_distribution_sql(
+        dist_op.direction_distribution_sql(rows_sql, "zone_id", "bin", "w",
+                                           n_bins=smbr.N_BINS),
+        "zone_id", [f"b{i}" for i in range(smbr.N_BINS)])
+
+
 FACADE_BUFFER_E6 = 25_000
 
 
@@ -470,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_surface_fractions": _q_surface_fractions,
         "zone_overlay_combos": _q_overlay_combos,
         "component_dissolve": _q_component_dissolve,
+        "smbr_direction_distribution": _q_smbr_direction,
         "facade_area_distribution": _q_facade_distribution,
         "frontal_area_index": _q_frontal_area_index,
         "roof_area_distribution_exact": _q_roof_distribution,
@@ -639,6 +681,7 @@ FROM pages JOIN centers ON centers.zone_id = CAST({zone} AS BIGINT)
 WHERE lon_e6 IS NOT NULL""",
                 "zone_id", dist_op.octant_bin_sql("dx", "dy"), "chars"),
             "zone_id", [f"b{i}" for i in range(8)]),
+        "smbr_direction_distribution": _smbr_oracle_sql(),
         "facade_area_distribution": facade.facade_area_distribution_sql(
             _facade_pages_sql(), raster.zone_bounds_values_sql(),
             FACADE_BUFFER_E6),

@@ -1,0 +1,175 @@
+"""SMBR-azimuth building direction distribution — the real minimum-bounding-
+rectangle weighting (replacing the octant point-offset simplification in
+:mod:`distribution`).
+
+Reference: `buildingDirectionDistribution` (`/root/reference/geoindicators/
+.../GenericIndicators.groovy:291-411`): per building the minimum rectangle
+(`ST_MINIMUMRECTANGLE`, `:318-321`), the lengths and azimuths of its two
+perpendicular sides (`:325-332`), side lengths summed into fixed angle bins
+over [0, 180) (`:343-349`), then `distributionCharacterization` per upper
+zone (Perkins equality / uniqueness, `:356-358` — reused from
+:mod:`distribution`).
+
+Graft: "buildings" are page-proximity components (the createBlocks output);
+the SMBR of a component's points is found with the hull-edge theorem — the
+minimum-area enclosing rectangle has a side collinear with a hull edge, and
+every hull edge is a point pair, so scanning ALL point-pair directions (a
+superset) finds the exact optimum with no hull computation. That makes the
+whole operator a pair-explode + aggregate, expressible identically in Spark
+and DuckDB:
+
+* per candidate direction (dx, dy): projection P = dx·x + dy·y and cross
+  C = dx·y − dy·x over the component's points — exact int64; the enclosing
+  rectangle area is (ΔP·ΔC)/len² evaluated in ONE fixed double expression
+  (IEEE mul/div are exactly rounded → bit-identical across engines);
+* winner = lowest (area, id_i, id_j) — a deterministic window top-1;
+* side lengths FLOOR(ΔP/√len²), FLOOR(ΔC/√len²) (sqrt is correctly rounded
+  everywhere, FLOOR avoids engine-specific cast/round rules);
+* angle bins are 30° sectors of [0,180): tan²(30°) = 1/3 and tan²(60°) = 3
+  are RATIONAL, so bin membership reduces to exact integer comparisons
+  (3·dy² vs dx²); the irrational boundaries are unreachable for integer
+  vectors, so no boundary ambiguity exists.
+
+Scale: the pair-direction scan is O(n³) per component — components are
+block-scale (bounded by the CC radius), so n stays small; a production path
+for huge components would hull-first (rotating calipers), which changes
+nothing downstream. All set operations are equi-joins on the component id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BINS = 6  # 30° sectors of [0, 180)
+
+
+def _norm_dir(dx: Column, dy: Column) -> tuple[Column, Column]:
+    """Normalize a direction into the upper half-plane: dy > 0, or
+    dy == 0 and dx > 0."""
+    flip = (dy < 0) | ((dy == 0) & (dx < 0))
+    return (F.when(flip, -dx).otherwise(dx), F.when(flip, -dy).otherwise(dy))
+
+
+def sector_bin_col(dx: Column, dy: Column) -> Column:
+    """30° sector of the normalized direction's angle in [0,180) — exact
+    integer comparisons (see module docstring)."""
+    dx2, dy2 = dx * dx, dy * dy
+    return (F.when(dy == 0, F.lit(0))
+            .when(dx == 0, F.lit(3))
+            .when((dx > 0) & (dx2 > 3 * dy2), F.lit(0))         # [0,30)
+            .when((dx > 0) & (dy2 < 3 * dx2), F.lit(1))         # [30,60)
+            .when(dx > 0, F.lit(2))                             # [60,90)
+            .when(3 * dy2 < dx2, F.lit(5))                      # (150,180)
+            .when(dy2 <= 3 * dx2, F.lit(4))                     # [120,150]
+            .otherwise(F.lit(3))                                # (90,120)
+            .cast("long"))
+
+
+def sector_bin_sql(dx: str, dy: str) -> str:
+    return (f"CAST(CASE WHEN {dy} = 0 THEN 0 WHEN {dx} = 0 THEN 3 "
+            f"WHEN {dx} > 0 AND {dx}*{dx} > 3*{dy}*{dy} THEN 0 "
+            f"WHEN {dx} > 0 AND {dy}*{dy} < 3*{dx}*{dx} THEN 1 "
+            f"WHEN {dx} > 0 THEN 2 "
+            f"WHEN 3*{dy}*{dy} < {dx}*{dx} THEN 5 "
+            f"WHEN {dy}*{dy} <= 3*{dx}*{dx} THEN 4 "
+            f"ELSE 3 END AS BIGINT)")
+
+
+def smbr_per_component(comp_pts: DataFrame) -> DataFrame:
+    """Exact minimum-area enclosing rectangle per component.
+
+    ``comp_pts``: (component, pid, x, y) int64 µ°; components need >= 2
+    distinct points (singletons yield no pairs and are dropped, like
+    degenerate point buildings). Returns one row per component:
+    (component, dx, dy, len2, d_p, d_c) — winning direction (normalized),
+    its squared length, and the projection/cross extents.
+    """
+    a, b = comp_pts.alias("a"), comp_pts.alias("b")
+    raw = (a.join(b, (F.col("a.component") == F.col("b.component"))
+                  & (F.col("a.pid") < F.col("b.pid")))
+           .select(F.col("a.component").alias("component"),
+                   F.col("a.pid").alias("id_i"), F.col("b.pid").alias("id_j"),
+                   (F.col("b.x") - F.col("a.x")).alias("_dx"),
+                   (F.col("b.y") - F.col("a.y")).alias("_dy"))
+           .where((F.col("_dx") != 0) | (F.col("_dy") != 0)))
+    ndx, ndy = _norm_dir(F.col("_dx"), F.col("_dy"))
+    dirs = raw.select("component", "id_i", "id_j", ndx.alias("dx"),
+                      ndy.alias("dy"))
+    p = comp_pts.select(F.col("component"), F.col("x"), F.col("y"))
+    ext = (dirs.join(p, "component")
+           .select("component", "id_i", "id_j", "dx", "dy",
+                   (F.col("dx") * F.col("x") + F.col("dy") * F.col("y")).alias("_p"),
+                   (F.col("dx") * F.col("y") - F.col("dy") * F.col("x")).alias("_c"))
+           .groupBy("component", "id_i", "id_j", "dx", "dy")
+           .agg((F.max("_p") - F.min("_p")).alias("d_p"),
+                (F.max("_c") - F.min("_c")).alias("d_c")))
+    len2 = (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+    area = (F.col("d_p").cast("double") * F.col("d_c").cast("double")
+            / len2.cast("double"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("_area").asc(), F.col("id_i").asc(), F.col("id_j").asc())
+    return (ext.withColumn("_area", area)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("component", "dx", "dy", len2.alias("len2"), "d_p", "d_c"))
+
+
+def smbr_direction_weights(smbr: DataFrame) -> DataFrame:
+    """Two weighted direction rows per component — the side ALONG the
+    winning direction with extent ΔP, and the PERPENDICULAR side with ΔC
+    (`GenericIndicators.groovy:325-332` LEN_L/LEN_H ⇔ ANG_L/ANG_H):
+    (component, bin, w) with w = FLOOR(extent / √len²) bigint µ°."""
+    ln = F.sqrt(F.col("len2").cast("double"))
+    # perpendicular of (dx, dy) is (-dy, dx); renormalize to upper half
+    pdx, pdy = _norm_dir(-F.col("dy"), F.col("dx"))
+    along = smbr.select(
+        "component", sector_bin_col(F.col("dx"), F.col("dy")).alias("bin"),
+        F.floor(F.col("d_p").cast("double") / ln).cast("long").alias("w"))
+    perp = smbr.select(
+        "component", sector_bin_col(pdx, pdy).alias("bin"),
+        F.floor(F.col("d_c").cast("double") / ln).cast("long").alias("w"))
+    return along.unionByName(perp)
+
+
+def smbr_sql(comp_pts_sql: str) -> str:
+    """DuckDB mirror of smbr_per_component + smbr_direction_weights:
+    emits (component, bin, w). ``comp_pts_sql`` selects
+    (component, pid, x, y) BIGINT."""
+    bin_d = sector_bin_sql("dx", "dy")
+    bin_p = sector_bin_sql("pdx", "pdy")
+    return f"""WITH comp_pts AS ({comp_pts_sql}),
+raw AS (SELECT a.component, a.pid AS id_i, b.pid AS id_j,
+       b.x - a.x AS rdx, b.y - a.y AS rdy
+  FROM comp_pts a JOIN comp_pts b ON a.component = b.component
+   AND a.pid < b.pid
+  WHERE b.x != a.x OR b.y != a.y),
+dirs AS (SELECT component, id_i, id_j,
+       CASE WHEN rdy < 0 OR (rdy = 0 AND rdx < 0) THEN -rdx ELSE rdx END AS dx,
+       CASE WHEN rdy < 0 OR (rdy = 0 AND rdx < 0) THEN -rdy ELSE rdy END AS dy
+  FROM raw),
+ext AS (SELECT d.component, d.id_i, d.id_j, d.dx, d.dy,
+       MAX(d.dx * p.x + d.dy * p.y) - MIN(d.dx * p.x + d.dy * p.y) AS d_p,
+       MAX(d.dx * p.y - d.dy * p.x) - MIN(d.dx * p.y - d.dy * p.x) AS d_c
+  FROM dirs d JOIN comp_pts p ON p.component = d.component
+  GROUP BY 1, 2, 3, 4, 5),
+scored AS (SELECT *, dx * dx + dy * dy AS len2,
+       CAST(d_p AS DOUBLE) * CAST(d_c AS DOUBLE)
+         / CAST(dx * dx + dy * dy AS DOUBLE) AS area,
+       ROW_NUMBER() OVER (PARTITION BY component
+           ORDER BY CAST(d_p AS DOUBLE) * CAST(d_c AS DOUBLE)
+                    / CAST(dx * dx + dy * dy AS DOUBLE) ASC,
+                    id_i ASC, id_j ASC) AS rn
+  FROM ext),
+win AS (SELECT component, dx, dy, len2, d_p, d_c FROM scored WHERE rn = 1),
+perp AS (SELECT component, len2, d_c,
+       CASE WHEN dx < 0 OR (dx = 0 AND dy > 0) THEN dy ELSE -dy END AS pdx,
+       CASE WHEN dx < 0 OR (dx = 0 AND dy > 0) THEN -dx ELSE dx END AS pdy
+  FROM win)
+SELECT component, {bin_d} AS bin,
+       CAST(FLOOR(CAST(d_p AS DOUBLE) / SQRT(CAST(len2 AS DOUBLE))) AS BIGINT) AS w
+FROM win
+UNION ALL
+SELECT component, {bin_p} AS bin,
+       CAST(FLOOR(CAST(d_c AS DOUBLE) / SQRT(CAST(len2 AS DOUBLE))) AS BIGINT) AS w
+FROM perp"""

@@ -1,0 +1,49 @@
+"""SMBR direction distribution — hand-checked geometry."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoclimate_spark.operators import smbr
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "component long, pid long, x long, y long")
+
+
+def test_axis_aligned_rectangle(spark):
+    """4 corners of a 40x10 axis-aligned rect: SMBR is the rect itself —
+    long side 40 along 0° (bin 0), short side 10 along 90° (bin 3)."""
+    pts = _pts(spark, [(1, 1, 0, 0), (1, 2, 40, 0), (1, 3, 0, 10), (1, 4, 40, 10)])
+    w = smbr.smbr_direction_weights(smbr.smbr_per_component(pts)).toPandas()
+    got = dict(zip(w["bin"], w["w"]))
+    assert got == {0: 40, 3: 10}
+
+
+def test_diagonal_line_45deg(spark):
+    """Collinear points along 45°: zero-width rect, length in bin 1."""
+    pts = _pts(spark, [(1, 1, 0, 0), (1, 2, 10, 10), (1, 3, 20, 20)])
+    w = smbr.smbr_direction_weights(smbr.smbr_per_component(pts)).toPandas()
+    got = dict(zip(w["bin"], w["w"]))
+    # 45° is in [30,60) → bin 1; length floor(|(20,20)|) = floor(28.28) = 28
+    assert got[1] == 28
+    # the perpendicular (135° → bin 4) has zero extent
+    assert got[4] == 0
+
+
+def test_tilted_rectangle_beats_axis_bbox(spark):
+    """A thin rect rotated 45°: SMBR area must be the thin rect, not the
+    fat axis-aligned bbox."""
+    # corners of a rect with long axis along (1,1): (0,0),(30,30),(-5,5),(25,35)
+    pts = _pts(spark, [(1, 1, 0, 0), (1, 2, 30, 30), (1, 3, -5, 5), (1, 4, 25, 35)])
+    out = smbr.smbr_per_component(pts).toPandas().iloc[0]
+    # winning direction must be diagonal, not axis-aligned
+    assert out.dx != 0 and out.dy != 0
+    area = (out.d_p / (out.len2 ** 0.5)) * (out.d_c / (out.len2 ** 0.5))
+    assert abs(area - (30 * (2 ** 0.5)) * (5 * (2 ** 0.5))) < 1e-6
+
+
+def test_singleton_components_dropped(spark):
+    pts = _pts(spark, [(1, 1, 0, 0), (2, 2, 5, 5), (2, 3, 9, 5)])
+    out = smbr.smbr_per_component(pts).toPandas()
+    assert set(out.component) == {2}
