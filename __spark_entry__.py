@@ -28,10 +28,10 @@ from geoclimate_spark.operators import (classify, components, facade, knn,
                                         overlay, smbr,
                                         raster, roads, similarity, windows,
                                         zonal)
-from geoclimate_spark.sources import media
+from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
-from geoclimate_spark.plans import flagship
+from geoclimate_spark.plans import flagship, joiner
 from geoclimate_spark.sources import layers
 from geoclimate_spark.sources.pages import pages_from_documents, pages_oracle_sql
 
@@ -262,6 +262,39 @@ def _q_zone_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ZONE_CLASSES, ZONE_CLASS_SCALES)
 
 
+# "Trained" offline and inlined as literal splits (same treatment as the
+# IVF centroid codebook) — the reference's RF apply path.
+RF_TREES = [
+    {"feature": "avg_chars", "thr": 250.0,
+     "lo": {"feature": "nb_dens_chars", "thr": 0.02,
+            "lo": {"cls": "empty"}, "hi": {"cls": "sparse"}},
+     "hi": {"feature": "nb_dens_chars", "thr": 0.1,
+            "lo": {"cls": "sparse"}, "hi": {"cls": "dense"}}},
+    {"feature": "nb_dens_chars", "thr": 0.05,
+     "lo": {"cls": "sparse"}, "hi": {"cls": "dense"}},
+    {"feature": "avg_chars", "thr": 150.0,
+     "lo": {"cls": "empty"},
+     "hi": {"feature": "avg_chars", "thr": 350.0,
+            "lo": {"cls": "sparse"}, "hi": {"cls": "dense"}}},
+]
+
+
+def _q_zone_indicator_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joinTables analogue: the per-zone indicator tables assembled into one
+    wide row per zone (anchor keeps all zones; later tables LEFT JOIN)."""
+    return joiner.join_tables([
+        ("zstats", _q_zonal_unweighted(spark, sf_dir), "zone_id"),
+        ("langs", _q_zone_lang_fractions(spark, sf_dir), "zone_id"),
+        ("cls", _q_zone_classification(spark, sf_dir), "zone_id"),
+    ])
+
+
+def _q_zone_classification_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _zone_features(spark, sf_dir).select(
+        "zone_id", "avg_chars", "nb_dens_chars")
+    return classify.classify_tree_ensemble(feats, ["zone_id"], RF_TREES)
+
+
 def _q_tile_lod(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _geo_points(spark, sf_dir)
     base = (g.withColumn("tile_id", tile_op.tile_col(
@@ -316,6 +349,32 @@ def _q_component_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (overlay.dissolve_components(labeled, DISSOLVE_BUFFER_E6,
                                         with_hull=False)
             .drop("hull_area"))
+
+
+WAY_SIZE = 5
+
+
+def _q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ways→rings assembly: ordered synthetic parts (LCG points, WAY_SIZE
+    parts per way) grouped + sorted + ring-closed; exact shoelace and
+    floor-perimeter metrics."""
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long"))
+    parts = d.select(
+        (F.col("doc_id") / WAY_SIZE).cast("long").alias("way_id"),
+        (F.col("doc_id") % WAY_SIZE).alias("seq"),
+        ((F.col("doc_id") * 48271 + 11) % 2147483647 % 360000001
+         - 180000000).alias("x"),
+        ((F.col("doc_id") * 16807 + 7) % 2147483647 % 140000001
+         - 70000000).alias("y"))
+    return assembly.assemble_rings(parts)
+
+
+def _way_parts_sql() -> str:
+    return f"""SELECT CAST(doc_id // {WAY_SIZE} AS BIGINT) AS way_id,
+       CAST(doc_id % {WAY_SIZE} AS BIGINT) AS seq,
+       CAST((doc_id * 48271 + 11) % 2147483647 % 360000001 - 180000000 AS BIGINT) AS x,
+       CAST((doc_id * 16807 + 7) % 2147483647 % 140000001 - 70000000 AS BIGINT) AS y
+FROM documents"""
 
 
 def _q_smbr_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,10 +566,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "zone_tile_assignment_modeb": _q_tile_modeb,
         "zone_classification": _q_zone_classification,
+        "zone_classification_rf": _q_zone_classification_rf,
+        "zone_indicator_table": _q_zone_indicator_table,
         "tile_lod_rollup": _q_tile_lod,
         "zone_surface_fractions": _q_surface_fractions,
         "zone_overlay_combos": _q_overlay_combos,
         "component_dissolve": _q_component_dissolve,
+        "way_assembly": _q_way_assembly,
         "smbr_direction_distribution": _q_smbr_direction,
         "facade_area_distribution": _q_facade_distribution,
         "frontal_area_index": _q_frontal_area_index,
@@ -662,6 +724,29 @@ FROM rl""",
                 ops=("avg", "nb_dens")) + "\n) t",
             ["zone_id"], ["avg_chars", "nb_dens_chars"],
             ZONE_CLASSES, ZONE_CLASS_SCALES),
+        "zone_classification_rf": classify.classify_tree_ensemble_sql(
+            "SELECT zone_id, avg_chars, nb_dens_chars FROM (\n"
+            + zonal.unweighted_stats_sql(
+                _geo_rows_sql("LENGTH(text) AS chars"),
+                layers.zone_dim_values_sql(), "zone_id", "chars",
+                ops=("avg", "nb_dens")) + "\n) t",
+            ["zone_id"], RF_TREES),
+        "zone_indicator_table": joiner.join_tables_sql([
+            ("zstats", zonal.unweighted_stats_sql(
+                _geo_rows_sql("LENGTH(text) AS chars"),
+                layers.zone_dim_values_sql(), "zone_id", "chars"), "zone_id"),
+            ("langs", zonal.pivot_fractions_sql(
+                _geo_rows_sql("LENGTH(text) AS chars", "lang"),
+                "zone_id", "lang", "chars", LANGS), "zone_id"),
+            ("cls", classify.classify_min_distance_sql(
+                "SELECT zone_id, avg_chars, nb_dens_chars FROM (\n"
+                + zonal.unweighted_stats_sql(
+                    _geo_rows_sql("LENGTH(text) AS chars"),
+                    layers.zone_dim_values_sql(), "zone_id", "chars",
+                    ops=("avg", "nb_dens")) + "\n) t",
+                ["zone_id"], ["avg_chars", "nb_dens_chars"],
+                ZONE_CLASSES, ZONE_CLASS_SCALES), "zone_id"),
+        ]),
         "tile_lod_rollup": " UNION ALL ".join(
             f"""({_PAGES_CTE}
 SELECT CAST({r} AS BIGINT) AS res,
@@ -681,6 +766,7 @@ FROM pages JOIN centers ON centers.zone_id = CAST({zone} AS BIGINT)
 WHERE lon_e6 IS NOT NULL""",
                 "zone_id", dist_op.octant_bin_sql("dx", "dy"), "chars"),
             "zone_id", [f"b{i}" for i in range(8)]),
+        "way_assembly": assembly.assemble_rings_sql(_way_parts_sql()),
         "smbr_direction_distribution": _smbr_oracle_sql(),
         "facade_area_distribution": facade.facade_area_distribution_sql(
             _facade_pages_sql(), raster.zone_bounds_values_sql(),

@@ -76,6 +76,123 @@ def classify_min_distance(df: DataFrame, key_cols: list[str],
         F.when(anynull, F.lit(SENTINEL)).otherwise(uniq).alias("uniqueness"))
 
 
+def _tree_col(node: dict) -> Column:
+    """Compile a tree spec to a nested when() chain. A node is either
+    {"cls": label} (leaf) or {"feature": f, "thr": t, "lo": n, "hi": n}."""
+    if "cls" in node:
+        return F.lit(node["cls"])
+    return (F.when(F.col(node["feature"]) <= F.lit(node["thr"]),
+                   _tree_col(node["lo"]))
+            .otherwise(_tree_col(node["hi"])))
+
+
+def _tree_sql(node: dict) -> str:
+    if "cls" in node:
+        return f"'{node['cls']}'"
+    t = node["thr"]
+    return (f"CASE WHEN {node['feature']} <= CAST('{t!r}' AS DOUBLE)"
+            f" THEN {_tree_sql(node['lo'])} ELSE {_tree_sql(node['hi'])} END")
+
+
+def _tree_labels(trees: list[dict]) -> list[str]:
+    out: list[str] = []
+
+    def walk(n: dict) -> None:
+        if "cls" in n:
+            if n["cls"] not in out:
+                out.append(n["cls"])
+        else:
+            walk(n["lo"])
+            walk(n["hi"])
+
+    for t in trees:
+        walk(t)
+    return sorted(out)
+
+
+def classify_tree_ensemble(df: DataFrame, key_cols: list[str],
+                           trees: list[dict]) -> DataFrame:
+    """Deterministic tree-ensemble inference — the reference's secondary
+    RandomForest classification path (`TypologyClassification.groovy:
+    495-745`: a trained model applied per row) with the model supplied as
+    literal tree specs (train offline, inline the splits — the same
+    treatment as the IVF centroid codebook). Each tree compiles to a nested
+    when() chain, the ensemble vote is a majority with lowest-label
+    tie-break; everything is branch-free columnar projection, so the DuckDB
+    oracle (same CASE compilation) matches by construction. Rows with any
+    NULL feature get 'unclassified'.
+
+    Output: (key_cols..., cls, n_votes).
+    """
+    feats = sorted({n["feature"] for t in trees for n in _iter_nodes(t)
+                    if "feature" in n})
+    labels = _tree_labels(trees)
+    votes = [_tree_col(t).alias(f"_v{i}") for i, t in enumerate(trees)]
+    t_df = df.select(*key_cols, *feats, *votes)
+    counts = []
+    for l in labels:
+        c = None
+        for i in range(len(trees)):
+            term = F.when(F.col(f"_v{i}") == l, F.lit(1)).otherwise(F.lit(0))
+            c = term if c is None else c + term
+        counts.append(c)
+    best = F.lit(labels[-1])
+    best_n = counts[-1]
+    for i in range(len(labels) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(labels)):
+            cc = counts[i] >= counts[j]
+            cond = cc if cond is None else (cond & cc)
+        best = F.when(cond, F.lit(labels[i])).otherwise(best)
+        best_n = F.when(cond, counts[i]).otherwise(best_n)
+    anynull = None
+    for f in feats:
+        c = F.col(f).isNull()
+        anynull = c if anynull is None else (anynull | c)
+    return t_df.select(
+        *key_cols,
+        F.when(anynull, F.lit("unclassified")).otherwise(best).alias("cls"),
+        F.when(anynull, F.lit(0)).otherwise(best_n).cast("long").alias("n_votes"))
+
+
+def _iter_nodes(node: dict):
+    yield node
+    if "cls" not in node:
+        yield from _iter_nodes(node["lo"])
+        yield from _iter_nodes(node["hi"])
+
+
+def classify_tree_ensemble_sql(rows_sql: str, key_cols: list[str],
+                               trees: list[dict]) -> str:
+    feats = sorted({n["feature"] for t in trees for n in _iter_nodes(t)
+                    if "feature" in n})
+    labels = _tree_labels(trees)
+    v_sel = ",\n       ".join(f"{_tree_sql(t)} AS _v{i}"
+                              for i, t in enumerate(trees))
+    cnt = {l: " + ".join(f"(CASE WHEN _v{i} = '{l}' THEN 1 ELSE 0 END)"
+                         for i in range(len(trees))) for l in labels}
+    c_sel = ",\n       ".join(f"{cnt[l]} AS _c{i}"
+                              for i, l in enumerate(labels))
+    cases, ncases = [], []
+    for i in range(len(labels) - 1):
+        conds = " AND ".join(f"_c{i} >= _c{j}" for j in range(i + 1, len(labels)))
+        cases.append(f"WHEN {conds} THEN '{labels[i]}'")
+        ncases.append(f"WHEN {conds} THEN _c{i}")
+    cls = "CASE " + " ".join(cases) + f" ELSE '{labels[-1]}' END"
+    n = "CASE " + " ".join(ncases) + f" ELSE _c{len(labels) - 1} END"
+    anynull = " OR ".join(f"{f} IS NULL" for f in feats)
+    keys = ", ".join(key_cols)
+    return f"""WITH rows_in AS ({rows_sql}),
+v AS (SELECT {keys}, {", ".join(feats)},
+       {v_sel}
+  FROM rows_in),
+c AS (SELECT *, {c_sel} FROM v)
+SELECT {keys},
+       CASE WHEN {anynull} THEN 'unclassified' ELSE {cls} END AS cls,
+       CAST(CASE WHEN {anynull} THEN 0 ELSE {n} END AS BIGINT) AS n_votes
+FROM c"""
+
+
 def classify_min_distance_sql(rows_sql: str, key_cols: list[str],
                               features: list[str],
                               centroids: dict[str, list[float]],
