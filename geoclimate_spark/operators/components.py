@@ -55,23 +55,41 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     """(key, component, component_size); component = min reachable key.
 
     ``vertices``: one column ``key``; ``edges``: (id_a, id_b) undirected.
+
+    Each round combines a neighbor-min step with a POINTER-DOUBLING step
+    (label := label of my label — valid because a label is always itself a
+    vertex id, and labels only decrease): the doubling halves the remaining
+    distance to the component minimum, so convergence is O(log diameter)
+    rounds instead of O(diameter). A path graph of 10^6 vertices converges
+    in ~20 rounds where pure min-propagation would need 10^6. Raises if
+    ``max_iter`` rounds do not converge — silently-wrong labels at scale
+    are worse than a failed job.
     """
     sym = (edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
            .union(vertices.select(F.col(key).alias("src"), F.col(key).alias("dst"))))
     sym = sym.localCheckpoint()
     labels = vertices.select(F.col(key).alias("vid"), F.col(key).alias("label"))
+    changed = -1
     for _ in range(max_iter):
         prop = (sym.join(labels, sym["src"] == labels["vid"])
                 .groupBy("dst").agg(F.min("label").alias("new_label")))
-        nxt = (labels.join(prop, labels["vid"] == prop["dst"])
-               .select("vid", F.least("label", "new_label").alias("label"),
-                       (F.col("new_label") < F.col("label")).alias("_chg")))
+        l1 = (labels.join(prop, labels["vid"] == prop["dst"])
+              .select("vid", F.least("label", "new_label").alias("label"),
+                      F.col("label").alias("_old")))
+        # pointer jump: relabel through the mapping itself
+        m = l1.select(F.col("vid").alias("_mv"), F.col("label").alias("_ml"))
+        nxt = (l1.join(m, l1["label"] == m["_mv"])
+               .select("vid", F.least("label", "_ml").alias("label"),
+                       (F.least("label", "_ml") < F.col("_old")).alias("_chg")))
         nxt = nxt.localCheckpoint()
         changed = nxt.where(F.col("_chg")).count()
         labels = nxt.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return (labels.join(sizes, "label")
             .select(F.col("vid").alias(key), F.col("label").alias("component"),

@@ -85,6 +85,9 @@ def smbr_per_component(comp_pts: DataFrame) -> DataFrame:
     (component, dx, dy, len2, d_p, d_c) — winning direction (normalized),
     its squared length, and the projection/cross extents.
     """
+    # consumed three times (both self-join sides + the extent join); the
+    # upstream is typically a CC join with a long lineage — materialize once
+    comp_pts = comp_pts.persist()
     a, b = comp_pts.alias("a"), comp_pts.alias("b")
     raw = (a.join(b, (F.col("a.component") == F.col("b.component"))
                   & (F.col("a.pid") < F.col("b.pid")))
