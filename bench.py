@@ -68,6 +68,10 @@ def main() -> None:
     scaling_path = Path(__file__).parent / "BENCH" / "scaling_latest.json"
     if scaling_path.exists():
         result["scaling"] = json.loads(scaling_path.read_text())
+    # persist the full result so the artifact survives driver stdout
+    # truncation (BENCH_r{N}.json keeps only the tail)
+    (Path(__file__).parent / "BENCH" / "bench_latest.json").write_text(
+        json.dumps(result, indent=2) + "\n")
     print(json.dumps(result))
     spark.stop()
 

@@ -59,3 +59,17 @@ def test_zonal_plan_partial_aggregation(spark):
     plan = _plan(zonal.unweighted_stats(rows, dim, "zone_id", "v"))
     assert plan.count("HashAggregate") >= 2
     assert "SortAggregate" not in plan
+
+
+def test_new_operator_plans_no_cartesian_no_python(spark):
+    """Round-2 operators (facade family, theta join, way assembly, banded
+    embedding LSH) must stay pure JVM equi-join plans: no cartesian/BNLJ
+    fallback, no sort-agg demotion, no row-wise Python."""
+    import __spark_entry__ as E
+    for name in ("facade_area_distribution", "theta_contact_pairs",
+                 "way_assembly", "embedding_near_dup_lsh"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortAggregate" not in plan, name
+        assert "BatchEvalPython" not in plan, name
