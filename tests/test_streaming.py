@@ -58,3 +58,33 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert len(got) == len(batch)
     assert (got.n_pages.to_numpy() == batch.n_pages.to_numpy()).all()
     assert (got.tile_id.to_numpy() == batch.tile_id.to_numpy()).all()
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessions == batch sessionize minus each
+    user's final (still-open-in-state) session."""
+    import pyspark.sql.types as T
+    from geoclimate_spark.operators import windows
+    from geoclimate_spark.streaming import stateful
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.write.mode("overwrite").parquet(str(tmp_path / "ev" / "all"))
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "ev" / "*"))
+    GAP = 600
+    sess = stateful.sessionize_stream(stream, GAP)
+    q = (sess.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = (spark.table("sess_out").toPandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+
+    batch = windows.sessionize(ev, GAP).toPandas()
+    # drop each user's LAST session (open tail, still held in state)
+    last = batch.groupby("user_id")["session_id"].transform("max")
+    exp = (batch[batch.session_id != last]
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ["user_id", "session_id", "n_events", "start_us", "end_us",
+              "duration_us"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
