@@ -26,13 +26,27 @@ PROPS_TYPE = T.StructType([
     T.StructField("area_deg2", T.DoubleType()),
     T.StructField("perimeter_deg", T.DoubleType()),
     T.StructField("n_points", T.LongType()),
+    T.StructField("form_factor", T.DoubleType()),
+    T.StructField("rectangularity", T.DoubleType()),
 ])
+
+PROP_COLS = ("area_deg2", "perimeter_deg", "n_points",
+             "form_factor", "rectangularity")
 
 
 @F.pandas_udf(PROPS_TYPE)
 def geometry_props(vertices: pd.Series) -> pd.DataFrame:
-    """vertices: Series of list[{lon_e6, lat_e6}] (implicitly closed ring)."""
-    areas, perims, npts = [], [], []
+    """vertices: Series of list[{lon_e6, lat_e6}] (implicitly closed ring).
+
+    Size/form menu (`GenericIndicators.geometryProperties` + the form
+    measures of `BuildingIndicators.sizeProperties`/`formProperties`):
+    ``form_factor`` = area / perimeter² (the reference's compactness ratio)
+    and ``rectangularity`` = area / bbox area (the axis-aligned stand-in for
+    area/ST_MINIMUMRECTANGLE — exact for the engine's rect-band zones, and
+    SQL-expressible for the oracle). Both derive from the already-
+    deterministic area (exact shoelace) and perimeter (rounded 6), so the
+    divisions are bit-identical across engines."""
+    areas, perims, npts, ffs, rects = [], [], [], [], []
     for ring in vertices:
         x = np.array([v["lon_e6"] for v in ring], dtype=object)  # exact ints
         y = np.array([v["lat_e6"] for v in ring], dtype=object)
@@ -41,22 +55,28 @@ def geometry_props(vertices: pd.Series) -> pd.DataFrame:
         shoelace = int(np.sum(x * y2 - x2 * y))  # exact python-int arithmetic
         # float() FIRST (the int may exceed 2^53): mirrors SQL's
         # CAST(bigint AS DOUBLE) / 2 / 1e12 rounding exactly
-        areas.append(float(abs(shoelace)) / 2 / 1e12)
+        area = float(abs(shoelace)) / 2 / 1e12
+        areas.append(area)
         dx = (x2 - x).astype(np.float64) / 1e6
         dy = (y2 - y).astype(np.float64) / 1e6
-        perims.append(round(float(np.sum(np.sqrt(dx * dx + dy * dy))), 6))
+        perim = round(float(np.sum(np.sqrt(dx * dx + dy * dy))), 6)
+        perims.append(perim)
         npts.append(n)
+        ffs.append(area / (perim * perim) if perim > 0 else 0.0)
+        bbox = (float(int(max(x)) - int(min(x)))
+                * float(int(max(y)) - int(min(y)))) / 1e12
+        rects.append(area / bbox if bbox > 0 else 0.0)
     return pd.DataFrame({"area_deg2": areas, "perimeter_deg": perims,
-                         "n_points": npts})
+                         "n_points": npts, "form_factor": ffs,
+                         "rectangularity": rects})
 
 
 def with_geometry_props(df: DataFrame, vertices_col: str = "vertices") -> DataFrame:
     p = geometry_props(F.col(vertices_col))
-    return (df.withColumn("_p", p)
-            .withColumn("area_deg2", F.col("_p.area_deg2"))
-            .withColumn("perimeter_deg", F.col("_p.perimeter_deg"))
-            .withColumn("n_points", F.col("_p.n_points"))
-            .drop("_p"))
+    df = df.withColumn("_p", p)
+    for c in PROP_COLS:
+        df = df.withColumn(c, F.col(f"_p.{c}"))
+    return df.drop("_p")
 
 
 # ------------------------------------------------------------------ sources
@@ -96,10 +116,20 @@ e AS (SELECT a.zone_id,
         SQRT(CAST((b.lon_e6 - a.lon_e6) * (b.lon_e6 - a.lon_e6)
                 + (b.lat_e6 - a.lat_e6) * (b.lat_e6 - a.lat_e6) AS DOUBLE)) / 1000000.0 AS elen
   FROM v a JOIN n USING (zone_id)
-  JOIN v b ON b.zone_id = a.zone_id AND b.idx = (a.idx + 1) % n.np)
-SELECT zone_id,
+  JOIN v b ON b.zone_id = a.zone_id AND b.idx = (a.idx + 1) % n.np),
+g AS (SELECT zone_id,
        CAST(ABS(SUM(cross_term)) AS DOUBLE) / 2 / 1e12 AS area_deg2,
        ROUND(SUM(elen), 6) AS perimeter_deg,
        CAST(MAX(np2) AS BIGINT) AS n_points
-FROM (SELECT e.*, n.np AS np2 FROM e JOIN n USING (zone_id)) AS s
-GROUP BY zone_id"""
+  FROM (SELECT e.*, n.np AS np2 FROM e JOIN n USING (zone_id)) AS s
+  GROUP BY zone_id),
+bb AS (SELECT zone_id,
+       CAST(CAST(MAX(lon_e6) - MIN(lon_e6) AS BIGINT) AS DOUBLE)
+       * CAST(CAST(MAX(lat_e6) - MIN(lat_e6) AS BIGINT) AS DOUBLE) / 1e12 AS bbox
+  FROM v GROUP BY zone_id)
+SELECT g.zone_id, g.area_deg2, g.perimeter_deg, g.n_points,
+       CASE WHEN g.perimeter_deg > 0
+            THEN g.area_deg2 / (g.perimeter_deg * g.perimeter_deg)
+            ELSE 0.0 END AS form_factor,
+       CASE WHEN bb.bbox > 0 THEN g.area_deg2 / bb.bbox ELSE 0.0 END AS rectangularity
+FROM g JOIN bb USING (zone_id)"""

@@ -327,6 +327,7 @@ ROOF_SCHEMA = T.StructType([
     T.StructField("zone_id", T.LongType()),
     T.StructField("layer", T.LongType()),
     T.StructField("roof_area_e6sq", T.LongType()),
+    T.StructField("volume_e6sq_chars", T.LongType()),
 ])
 
 
@@ -372,9 +373,13 @@ def roof_layer_distribution_exact(pages: DataFrame, buffer_e6: int,
             layer = np.searchsorted(b_arr[1:], best_h, side="right")
             rows = pd.DataFrame({
                 "layer": layer[covered].astype(np.int64),
-                "roof_area_e6sq": area[covered]})
+                "roof_area_e6sq": area[covered],
+                # exact built volume: overlap-free atom area x winner height
+                # (the size-properties "volume" measure, double-count free)
+                "volume_e6sq_chars": area[covered] * best_h[covered]})
             out = (rows.groupby("layer", as_index=False)
-                   .agg(roof_area_e6sq=("roof_area_e6sq", "sum")))
+                   .agg(roof_area_e6sq=("roof_area_e6sq", "sum"),
+                        volume_e6sq_chars=("volume_e6sq_chars", "sum")))
             out.insert(0, "zone_id", zid)
             yield out[out["layer"] < nb]
 
@@ -408,8 +413,9 @@ cov AS (SELECT a.zone_id, a.ax0, a.ax1, a.ay0, a.ay1, s.h, s.page_id,
   FROM atoms a JOIN sq s ON s.zone_id = a.zone_id
    AND a.ax0 >= s.x0 AND a.ax0 < s.x1 AND a.ay0 >= s.y0 AND a.ay0 < s.y1),
 winner AS (SELECT zone_id, CAST({layer_case} AS BIGINT) AS layer,
-       (ax1 - ax0) * (ay1 - ay0) AS area FROM cov WHERE rn = 1)
-SELECT zone_id, layer, CAST(SUM(area) AS BIGINT) AS roof_area_e6sq
+       (ax1 - ax0) * (ay1 - ay0) AS area, h FROM cov WHERE rn = 1)
+SELECT zone_id, layer, CAST(SUM(area) AS BIGINT) AS roof_area_e6sq,
+       CAST(SUM(area * h) AS BIGINT) AS volume_e6sq_chars
 FROM winner GROUP BY zone_id, layer"""
 
 

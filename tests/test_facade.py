@@ -84,3 +84,19 @@ def test_roof_exact_no_double_count(spark):
     l1 = out[out.layer == 1].roof_area_e6sq.iloc[0]
     l0 = out[out.layer == 0].roof_area_e6sq.iloc[0]
     assert l1 == 400 and l0 == 200
+    # exact built volume: winner height x overlap-free area
+    assert out[out.layer == 1].volume_e6sq_chars.iloc[0] == 400 * 250
+    assert out[out.layer == 0].volume_e6sq_chars.iloc[0] == 200 * 150
+
+
+def test_layer_clipping_partitions_band(spark):
+    """Σ over layers of the clipped contribution == z_max - z_min for any
+    band — the reference formula is a partition of the height interval."""
+    rows = [(i, zmin, zmax) for i, (zmin, zmax) in enumerate(
+        [(0, 50), (0, 200), (0, 250), (100, 300), (150, 450), (200, 400),
+         (350, 800), (400, 401), (0, 1000), (399, 400), (200, 200)])]
+    df = spark.createDataFrame(rows, "i long, z_min long, z_max long")
+    out = df.select("z_min", "z_max",
+                    *facade._layer_cols(F.col("z_min"), F.col("z_max"))).toPandas()
+    for _, r in out.iterrows():
+        assert r.h0 + r.h1 + r.h2 == r.z_max - r.z_min, dict(r)
