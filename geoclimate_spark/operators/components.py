@@ -65,23 +65,47 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     ``max_iter`` rounds do not converge — silently-wrong labels at scale
     are worse than a failed job.
     """
+    # materialize the edge list FIRST: it is typically the output of an
+    # expensive candidate+verify pipeline (LSH, kring refine) and is
+    # consumed by several derivations below — without this each one would
+    # recompute the whole upstream
+    edges = edges.localCheckpoint()
+    # isolated vertices never change label — keep them out of the loop
+    # entirely (most docs are not near-dups; most points are not in dense
+    # blocks) and union them back as their own singleton components. This
+    # shrinks every round's join input from |V| to |V_with_edges|.
+    edge_verts = (edges.select(F.col("id_a").alias("vid"))
+                  .union(edges.select(F.col("id_b").alias("vid")))
+                  .distinct()
+                  .localCheckpoint())
+    iso = (vertices.select(F.col(key).alias("vid"))
+           .join(edge_verts, "vid", "left_anti"))
     sym = (edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-           .union(vertices.select(F.col(key).alias("src"), F.col(key).alias("dst"))))
+           .union(edge_verts.select(F.col("vid").alias("src"),
+                                    F.col("vid").alias("dst"))))
     sym = sym.localCheckpoint()
-    labels = vertices.select(F.col(key).alias("vid"), F.col(key).alias("label"))
+    labels = edge_verts.select("vid", F.col("vid").alias("label"))
     changed = -1
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = (sym.join(labels, sym["src"] == labels["vid"])
                 .groupBy("dst").agg(F.min("label").alias("new_label")))
         l1 = (labels.join(prop, labels["vid"] == prop["dst"])
               .select("vid", F.least("label", "new_label").alias("label"),
                       F.col("label").alias("_old")))
-        # pointer jump: relabel through the mapping itself
-        m = l1.select(F.col("vid").alias("_mv"), F.col("label").alias("_ml"))
-        nxt = (l1.join(m, l1["label"] == m["_mv"])
-               .select("vid", F.least("label", "_ml").alias("label"),
-                       (F.least("label", "_ml") < F.col("_old")).alias("_chg")))
+        if it >= 2:
+            # pointer jump: relabel through the mapping itself. Skipped for
+            # the first rounds — clique-shaped graphs (near-dup groups,
+            # dense urban blocks) converge in 1-2 neighbor-min rounds and
+            # the extra join is pure overhead there; long chains that are
+            # still moving by round 3 get the O(log d) doubling.
+            m = l1.select(F.col("vid").alias("_mv"), F.col("label").alias("_ml"))
+            nxt = (l1.join(m, l1["label"] == m["_mv"])
+                   .select("vid", F.least("label", "_ml").alias("label"),
+                           (F.least("label", "_ml") < F.col("_old")).alias("_chg")))
+        else:
+            nxt = l1.select("vid", "label",
+                            (F.col("label") < F.col("_old")).alias("_chg"))
         nxt = nxt.localCheckpoint()
         changed = nxt.where(F.col("_chg")).count()
         labels = nxt.drop("_chg")
@@ -90,6 +114,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
+    labels = labels.unionByName(
+        iso.select("vid", F.col("vid").alias("label")))
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return (labels.join(sizes, "label")
             .select(F.col("vid").alias(key), F.col("label").alias("component"),
