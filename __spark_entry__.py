@@ -467,7 +467,9 @@ def _q_pair_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_TOPK = 3
-CURATE_MIN_QUALITY = 0.5
+# fixture quality scores span 0.14-0.48 (median 0.34): 0.35 keeps ~45% so
+# the curation composites exercise real survivors at every SF (0.5 kept ~0)
+CURATE_MIN_QUALITY = 0.35
 
 
 def _q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,6 +494,26 @@ def _q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.join(canon.select("id", "n_copies"), "id")
             .select("id", "lang", "n_tokens", "quality", "fingerprint",
                     F.col("n_copies").cast("long").alias("n_copies")))
+
+
+def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup end-game: banded-LSH pairs → CC → canonical."""
+    return similarity.embedding_dup_clusters(_emb(spark, sf_dir), EMB_DUP_T)
+
+
+def _q_curated_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with NEAR-dup removal: quality-filter → MinHash-LSH near-dup
+    clusters over the survivors → keep only each cluster's canonical doc.
+    The fuzzy-dedup training-data prep composite (exact-dedup composite is
+    curated_documents)."""
+    docs = _docs(spark, sf_dir)
+    cols = text_fn.text_metrics_cols(F.col("text"))
+    kept = (docs.select("doc_id", "text", cols["quality"].alias("quality"))
+            .where(F.col("quality") >= CURATE_MIN_QUALITY))
+    cc = dedup.near_dup_clusters(kept.select("doc_id", "text"),
+                                 threshold=MINHASH_T)
+    return (cc.where(F.col("doc_id") == F.col("component"))
+            .select("doc_id", "component_size"))
 
 
 def _q_rect_zone_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_rect_pair_areas": _q_pair_areas,
         "knn_topk_pages": _q_knn_topk,
         "curated_documents": _q_curated_documents,
+        "curated_near_dedup": _q_curated_near_dedup,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "rect_zone_assignment": _q_rect_zone_assignment,
         "event_props_rollup": _q_event_props_rollup,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -625,6 +649,15 @@ canon AS (SELECT fingerprint, MIN(id) AS id, COUNT(*) AS n_copies
 SELECT k.id, k.lang, k.n_tokens, k.quality, k.fingerprint,
        CAST(c.n_copies AS BIGINT) AS n_copies
 FROM kept k JOIN canon c ON c.id = k.id"""
+
+
+def _curated_near_dedup_oracle_sql() -> str:
+    m = text_fn.text_metrics_sql("text")
+    kept = (f"(SELECT doc_id, text FROM documents"
+            f" WHERE {m['quality']} >= {CURATE_MIN_QUALITY})")
+    cc = dedup.near_dup_clusters_sql(threshold=MINHASH_T, doc_rel=kept)
+    return (f"SELECT doc_id, component_size FROM ({cc})"
+            f" WHERE doc_id = component")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -702,6 +735,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             f"{_PAGES_CTE}\nSELECT page_id AS nb_id, lon_e6, lat_e6 FROM pages WHERE lon_e6 IS NOT NULL",
             KNN_RADIUS_E6, KNN_TOPK),
         "curated_documents": _curated_documents_oracle_sql(),
+        "curated_near_dedup": _curated_near_dedup_oracle_sql(),
+        "embedding_dup_clusters": similarity.embedding_dup_clusters_sql(EMB_DUP_T),
         "event_props_rollup": windows.props_rollup_sql(),
         "near_dup_clusters": dedup.near_dup_clusters_sql(threshold=MINHASH_T),
         "rect_zone_assignment": f"""WITH rl AS ({layers.rect_layers_values_sql()})

@@ -255,6 +255,45 @@ FROM base a JOIN base b ON a.id < b.id
 WHERE {dot} / (a.nrm * b.nrm) >= {threshold}"""
 
 
+def embedding_dup_clusters(emb: DataFrame, threshold: float,
+                           n_bands: int = 4, planes_per_band: int = 6,
+                           dim: int = 64, id_col: str = "vec_id",
+                           vec: str = "embedding") -> DataFrame:
+    """Embedding dedup end-game: banded-LSH cosine pairs → connected
+    components → one canonical vector per cluster:
+    (vec_id, component, component_size). The embedding-space twin of
+    :func:`~geoclimate_spark.operators.dedup.near_dup_clusters` — same
+    createBlocks shape (candidates → verify → CC → canon)."""
+    from .components import connected_components
+    pairs = cosine_pairs_lsh(emb, threshold, n_bands, planes_per_band,
+                             dim, id_col, vec)
+    verts = emb.select(F.col(id_col))
+    return connected_components(verts, pairs.select("id_a", "id_b"),
+                                key=id_col)
+
+
+def embedding_dup_clusters_sql(threshold: float, n_bands: int = 4,
+                               planes_per_band: int = 6, dim: int = 64,
+                               rel: str = "embeddings",
+                               id_col: str = "vec_id",
+                               vec: str = "embedding") -> str:
+    pairs = cosine_pairs_lsh_sql(threshold, n_bands, planes_per_band, dim,
+                                 rel, id_col, vec)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+verts AS (SELECT {id_col} AS id FROM {rel}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id, id FROM verts),
+reach(src, dst) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+comp AS (SELECT src AS {id_col}, MIN(dst) AS component FROM reach GROUP BY src),
+sizes AS (SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component)
+SELECT c.{id_col}, c.component, CAST(s.component_size AS BIGINT) AS component_size
+FROM comp c JOIN sizes s USING (component)"""
+
+
 def _bucket_col(vec: Column, coeffs: list[list[float]]) -> Column:
     b = None
     for p, row in enumerate(coeffs):
