@@ -47,3 +47,28 @@ def test_singleton_components_dropped(spark):
     pts = _pts(spark, [(1, 1, 0, 0), (2, 2, 5, 5), (2, 3, 9, 5)])
     out = smbr.smbr_per_component(pts).toPandas()
     assert set(out.component) == {2}
+
+
+def test_sector_bin_matches_atan2_reference(spark):
+    """The integer-comparison sector binning must agree with a float atan2
+    reference on random integer vectors (boundaries are unreachable for
+    integer inputs, so the two can never legitimately disagree)."""
+    import math
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(500):
+        dx = rng.randint(-1000, 1000)
+        dy = rng.randint(-1000, 1000)
+        if dx == 0 and dy == 0:
+            continue
+        # normalize to upper half-plane like the operator does
+        if dy < 0 or (dy == 0 and dx < 0):
+            dx, dy = -dx, -dy
+        ang = math.degrees(math.atan2(dy, dx)) % 180.0
+        rows.append((i, dx, dy, int(ang // 30)))
+    df = spark.createDataFrame(rows, "i long, dx long, dy long, exp long")
+    got = df.select("i", "exp",
+                    smbr.sector_bin_col(F.col("dx"), F.col("dy")).alias("bin")
+                    ).toPandas()
+    assert (got.bin == got.exp).all()
