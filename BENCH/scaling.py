@@ -146,6 +146,14 @@ def main() -> None:
     }
     out = Path(__file__).parent / "scaling_latest.json"
     out.write_text(json.dumps(result, indent=2) + "\n")
+    # append-only run history: every run's summary survives, so a single
+    # noisy window can neither hide nor masquerade as the whole story
+    hist = Path(__file__).parent / "scaling_history.jsonl"
+    with hist.open("a") as f:
+        f.write(json.dumps({k: result[k] for k in (
+            "measured_at", "n_pages", "cores_small", "cores_big",
+            "throughput_small", "throughput_big", "scaling_efficiency",
+            "median_pair_efficiency", "best_pair_efficiency", "pass")}) + "\n")
     md = Path(__file__).parent / "BASELINE.md"
     if not md.exists():
         md.write_text(
