@@ -24,8 +24,9 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import (classify, components, facade, knn,
-                                        overlay, smbr,
+from geoclimate_spark.operators import (classify, components, curation,
+                                        facade, knn,
+                                        overlay, repetition, smbr,
                                         raster, roads, similarity, windows,
                                         zonal)
 from geoclimate_spark.sources import assembly, media
@@ -516,6 +517,42 @@ def _q_curated_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "component_size"))
 
 
+PACK_BUDGET, PACK_SHARDS = 512, 8
+SAMPLE_QUOTA = 30
+DOMAIN_BLOCKED = ["src3", "src7", "src19"]
+DOMAIN_CAP = 12
+
+
+def _q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics (dup-token /
+    dup-bigram / top-bigram fractions)."""
+    return repetition.repetition_metrics(_docs(spark, sf_dir))
+
+
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: hash-sharded running token sums
+    cut every PACK_BUDGET tokens, rolled up per (shard, chunk)."""
+    docs = _docs(spark, sf_dir)
+    cols = text_fn.text_metrics_cols(F.col("text"))
+    m = docs.select("doc_id", cols["n_tokens"].alias("n_tokens"))
+    return curation.pack_sequences(m, "n_tokens", PACK_BUDGET, PACK_SHARDS)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (data-mixture balancing)."""
+    return curation.stratified_sample(_docs(spark, sf_dir), "lang",
+                                      SAMPLE_QUOTA)
+
+
+def _q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist anti-join → quality gate → per-domain hash-rank cap."""
+    docs = _docs(spark, sf_dir)
+    cols = text_fn.text_metrics_cols(F.col("text"))
+    m = docs.select("doc_id", "source", cols["quality"].alias("quality"))
+    return curation.domain_curation(m, "quality", CURATE_MIN_QUALITY,
+                                    DOMAIN_BLOCKED, DOMAIN_CAP)
+
+
 def _q_rect_zone_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spatialJoin mode A with POLYGON sources: each land-cover rect joins
     by its point-on-surface (= center) through the real covering + PIP
@@ -610,6 +647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_zone_assignment": _q_rect_zone_assignment,
         "event_props_rollup": _q_event_props_rollup,
         "near_dup_clusters": _q_near_dup_clusters,
+        "repetition_metrics": _q_repetition_metrics,
+        "packed_sequences": _q_packed_sequences,
+        "stratified_sample_lang": _q_stratified_sample,
+        "domain_curation": _q_domain_curation,
     }
 
 
@@ -739,6 +780,15 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "embedding_dup_clusters": similarity.embedding_dup_clusters_sql(EMB_DUP_T),
         "event_props_rollup": windows.props_rollup_sql(),
         "near_dup_clusters": dedup.near_dup_clusters_sql(threshold=MINHASH_T),
+        "repetition_metrics": repetition.repetition_metrics_sql(),
+        "packed_sequences": curation.pack_sequences_sql(
+            "documents", text_fn.text_metrics_sql("text")["n_tokens"],
+            PACK_BUDGET, PACK_SHARDS),
+        "stratified_sample_lang": curation.stratified_sample_sql(
+            "documents", "lang", SAMPLE_QUOTA),
+        "domain_curation": curation.domain_curation_sql(
+            "documents", text_fn.text_metrics_sql("text")["quality"],
+            CURATE_MIN_QUALITY, DOMAIN_BLOCKED, DOMAIN_CAP),
         "rect_zone_assignment": f"""WITH rl AS ({layers.rect_layers_values_sql()})
 SELECT rect_id,
        CAST({layers.zone_case_sql(

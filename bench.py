@@ -36,6 +36,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        # isolate queries: operators persist intermediates (shingle sets,
+        # LSH signatures); without clearing, later timings silently reuse
+        # earlier caches AND accumulate executor-memory/GC pressure
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count()  # materialize the full plan

@@ -1,0 +1,165 @@
+"""Training-corpus curation operators: packing, stratified sampling, domain caps.
+
+Three corpus-assembly operators a 100 TB training-data pipeline runs after
+filtering/dedup, each a deterministic DataFrame plan with an exact DuckDB
+oracle:
+
+* :func:`pack_sequences` — GPT-style *concat-then-chunk* sequence packing:
+  documents are ordered deterministically inside hash shards, token counts
+  are accumulated with a running window sum, and every document is assigned
+  to the fixed-token-budget chunk containing its last token. This is the
+  standard scalable packing used to build training batches (concatenate the
+  stream, cut every ``budget`` tokens); the per-chunk rollup reports doc
+  counts and token totals.
+* :func:`stratified_sample` — deterministic per-stratum quota sampling
+  (e.g. language balancing for a data mixture): rank documents inside each
+  stratum by a content-independent md5 hash and keep the first ``quota``.
+  Hash-rank sampling is reproducible across runs/engines — no RNG state.
+* :func:`domain_curation` — per-domain caps + blocklist (the C4/RefinedWeb
+  move): drop blocked sources, quality-gate, then keep at most ``cap``
+  documents per source, chosen by hash rank.
+
+Reference analogue: GeoClimate's zone-area filtering + per-type caps in
+`/root/reference/osm/src/main/groovy/.../InputDataLoading.groovy` select a
+bounded deterministic subset per category the same way (rule filter + ordered
+cap), just over OSM features instead of web documents.
+
+Scale design (100 TB):
+
+* ``pack_sequences`` — one hash-partition shuffle to the shards, then a
+  single window sort *within* each shard; shard count is the parallelism
+  knob, so no global sort ever happens. The rollup shuffles one row per
+  chunk.
+* ``stratified_sample`` / ``domain_curation`` — a window per stratum/domain.
+  Hot domains are bounded by the cap itself; the rank window is the same
+  top-k shape the kNN/mode operators use. With AQE skew-join splitting and
+  the 60-bit hash order there is no coordinate or value skew.
+* Everything is JVM codegen (md5 + window + integer arithmetic) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60_col, hash60_sql
+
+
+# ------------------------------------------------------------------- packing
+def pack_sequences(docs: DataFrame, n_tokens_col: str, budget: int,
+                   n_shards: int, id_col: str = "doc_id") -> DataFrame:
+    """Concat-then-chunk packing: per (shard, chunk) doc/token rollup.
+
+    A document belongs to chunk ``(cum_tokens - 1) // budget`` of its shard,
+    where ``cum_tokens`` is the running token total in deterministic
+    ``id`` order — i.e. the chunk containing the document's last token when
+    the shard's documents are concatenated and cut every ``budget`` tokens.
+    """
+    did = F.col(id_col).cast("long")
+    shard = F.pmod(hash60_col(did.cast("string")), F.lit(n_shards))
+    w = (Window.partitionBy("shard").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows = (docs.select(did.alias("id"),
+                        F.col(n_tokens_col).cast("long").alias("n_tok"),
+                        shard.cast("long").alias("shard"))
+            .withColumn("cum", F.sum("n_tok").over(w))
+            .withColumn("chunk_id",
+                        ((F.col("cum") - 1) - F.pmod(F.col("cum") - 1,
+                                                     F.lit(budget)))
+                        / F.lit(budget)))
+    return (rows.groupBy("shard", F.col("chunk_id").cast("long").alias("chunk_id"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("tok_total"),
+                 F.min("id").alias("first_doc"),
+                 F.max("id").alias("last_doc")))
+
+
+def pack_sequences_sql(docs_rel: str, n_tokens_sql: str, budget: int,
+                       n_shards: int, id_sql: str = "doc_id") -> str:
+    h = hash60_sql(f"CAST(CAST({id_sql} AS BIGINT) AS VARCHAR)")
+    return f"""WITH rows_in AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id,
+         CAST({n_tokens_sql} AS BIGINT) AS n_tok,
+         CAST(((({h}) % {n_shards}) + {n_shards}) % {n_shards} AS BIGINT) AS shard
+  FROM {docs_rel}),
+cums AS (
+  SELECT id, n_tok, shard,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rows_in)
+SELECT shard, CAST((cum - 1) // {budget} AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+       MIN(id) AS first_doc, MAX(id) AS last_doc
+FROM cums
+GROUP BY shard, chunk_id"""
+
+
+# --------------------------------------------------------- stratified sample
+def stratified_sample(docs: DataFrame, stratum_col: str, quota: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Keep the ``quota`` lowest-hash documents of each stratum (ties broken
+    by id — the hash is injective on ids in practice but the tie-break keeps
+    the plan total-order deterministic)."""
+    did = F.col(id_col).cast("long")
+    h = hash60_col(did.cast("string"))
+    w = Window.partitionBy("stratum").orderBy("h", "id")
+    return (docs.select(did.alias("id"), F.col(stratum_col).alias("stratum"),
+                        h.alias("h"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= quota)
+            .select(F.col("id").alias("doc_id"), "stratum", "rank"))
+
+
+def stratified_sample_sql(docs_rel: str, stratum_sql: str, quota: int,
+                          id_sql: str = "doc_id") -> str:
+    h = hash60_sql(f"CAST(CAST({id_sql} AS BIGINT) AS VARCHAR)")
+    return f"""WITH ranked AS (
+  SELECT CAST({id_sql} AS BIGINT) AS doc_id, {stratum_sql} AS stratum,
+         ROW_NUMBER() OVER (PARTITION BY {stratum_sql}
+                            ORDER BY {h}, CAST({id_sql} AS BIGINT)) AS rank
+  FROM {docs_rel})
+SELECT doc_id, stratum, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {quota}"""
+
+
+# ------------------------------------------------------------ domain capping
+def domain_curation(docs: DataFrame, quality_col: str, min_quality: float,
+                    blocked: list[str], cap: int,
+                    id_col: str = "doc_id",
+                    domain_col: str = "source") -> DataFrame:
+    """Blocklist → quality gate → per-domain cap (hash-rank keeps).
+
+    The blocklist is applied as a broadcast LEFT ANTI join (the §2.8 anti-join
+    shape; at scale the blocklist is a small dim table, not a literal list).
+    """
+    spark = docs.sparkSession
+    block_df = spark.createDataFrame([(b,) for b in blocked],
+                                     f"{domain_col} string")
+    did = F.col(id_col).cast("long")
+    h = hash60_col(did.cast("string"))
+    w = Window.partitionBy("domain").orderBy("h", "id")
+    return (docs
+            .join(F.broadcast(block_df), domain_col, "left_anti")
+            .where(F.col(quality_col) >= min_quality)
+            .select(did.alias("id"), F.col(domain_col).alias("domain"),
+                    F.col(quality_col).alias("quality"), h.alias("h"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= cap)
+            .select(F.col("id").alias("doc_id"), "domain", "quality", "rank"))
+
+
+def domain_curation_sql(docs_rel: str, quality_sql: str, min_quality: float,
+                        blocked: list[str], cap: int,
+                        id_sql: str = "doc_id",
+                        domain_sql: str = "source") -> str:
+    h = hash60_sql(f"CAST(CAST({id_sql} AS BIGINT) AS VARCHAR)")
+    inlist = ", ".join(f"'{b}'" for b in blocked)
+    return f"""WITH kept AS (
+  SELECT CAST({id_sql} AS BIGINT) AS doc_id, {domain_sql} AS domain,
+         {quality_sql} AS quality,
+         ROW_NUMBER() OVER (PARTITION BY {domain_sql}
+                            ORDER BY {h}, CAST({id_sql} AS BIGINT)) AS rank
+  FROM {docs_rel}
+  WHERE {domain_sql} NOT IN ({inlist}) AND {quality_sql} >= {min_quality})
+SELECT doc_id, domain, quality, CAST(rank AS BIGINT) AS rank
+FROM kept WHERE rank <= {cap}"""

@@ -128,12 +128,13 @@ def _band_key_col(band: int, rows: int) -> Column:
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
                         rows: int = LSH_ROWS) -> DataFrame:
-    """Distinct (id_a, id_b) sharing at least one band bucket, id_a < id_b."""
-    frames = [sig.select("id", F.lit(b).alias("band"),
-                         _band_key_col(b, rows).alias("bk")) for b in range(bands)]
-    bl = frames[0]
-    for f in frames[1:]:
-        bl = bl.unionByName(f)
+    """Distinct (id_a, id_b) sharing at least one band bucket, id_a < id_b.
+
+    Band keys are emitted in ONE pass over ``sig`` via posexplode (a
+    union-of-selects would re-evaluate the signature subtree once per band
+    per join side — 2×bands full signature computations)."""
+    keys = F.array(*[_band_key_col(b, rows) for b in range(bands)])
+    bl = sig.select("id", F.posexplode(keys).alias("band", "bk"))
     a, b = bl.alias("a"), bl.alias("b")
     return (a.join(b, ["band", "bk"])
             .where(F.col("a.id") < F.col("b.id"))
@@ -155,8 +156,10 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
     # project the base md5 ONCE; the 16 mins see only cheap affine mixes
     aggs = [F.min(mix60_col(F.col("_h"), p)).alias(f"mh{p}")
             for p in range(n_hashes)]
+    # persist: tiny (one row per doc) but sits under BOTH sides of the band
+    # self-join — without it the shingle+md5+agg subtree runs once per side
     sig = (sh.withColumn("_h", hash60_col(F.col("sh")))
-           .groupBy("id").agg(*aggs))
+           .groupBy("id").agg(*aggs).persist())
     cand = lsh_candidate_pairs(sig, bands, rows)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (cand
@@ -225,15 +228,14 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
                             k: int = K_SHINGLE) -> DataFrame:
     """Banded hamming join: pairs agreeing on >=1 byte-band of the simhash and
     within max_hamming overall: (id_a, id_b, hamming)."""
-    sig = simhash_signatures(docs, id_col, text_col, bits, k)
+    # persist: one row per doc, but referenced by both sides of the band
+    # self-join — see lsh_candidate_pairs for the re-evaluation trap
+    sig = simhash_signatures(docs, id_col, text_col, bits, k).persist()
     nb = bits // band_bits
     mask = (1 << band_bits) - 1
-    frames = [sig.select("id", "simhash", F.lit(b).alias("band"),
-                         F.shiftright(F.col("simhash"), b * band_bits)
-                         .bitwiseAND(F.lit(mask)).alias("bk")) for b in range(nb)]
-    bl = frames[0]
-    for f in frames[1:]:
-        bl = bl.unionByName(f)
+    keys = F.array(*[F.shiftright(F.col("simhash"), b * band_bits)
+                     .bitwiseAND(F.lit(mask)) for b in range(nb)])
+    bl = sig.select("id", "simhash", F.posexplode(keys).alias("band", "bk"))
     a, b = bl.alias("a"), bl.alias("b")
     return (a.join(b, ["band", "bk"])
             .where(F.col("a.id") < F.col("b.id"))
