@@ -49,23 +49,49 @@ _ORACLE_MAX_POS = 5000
 
 
 # ---------------------------------------------------------------- Spark path
-def shingle_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-               k: int = K_SHINGLE) -> DataFrame:
-    """Distinct character k-gram shingles per doc: (id, sh). Texts shorter
-    than k contribute their whole normalized text as one shingle."""
+def _shingle_array_expr(k: int) -> Column:
+    """Distinct character k-gram shingles of the normalized column ``_t`` as
+    a sorted array. Texts shorter than k contribute their whole normalized
+    text as one shingle. Sorted so that set semantics downstream
+    (array_intersect sizes, min-hash) never depend on construction order."""
+    return F.expr(
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, greatest(length(_t) - {k - 1}, 1)),"
+        f" i -> substring(_t, i, {k}))))")
+
+
+def shingle_array_df(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = K_SHINGLE) -> DataFrame:
+    """(id, sha: array<string>) — each doc's distinct shingle SET as one row.
+
+    The array form keeps the whole shingle set inside the scan projection:
+    signatures and set intersections become per-row codegen'd expressions,
+    so nothing explodes to one-row-per-shingle until an operator genuinely
+    needs an inverted index (see :func:`shingle_df`)."""
     t = normalize_col(F.col(text_col)).alias("_t")
-    lst = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(_t) - {k - 1}, 1)),"
-        f" i -> substring(_t, i, {k})))")
-    # spread docs across workers BEFORE the explode: document corpora often
-    # arrive as few fat files, and every downstream branch (seeded minhash
-    # aggs, intersection joins) inherits this parallelism — without it the
-    # md5 work serializes on the scan partitioning
+    # repartition the RAW rows first so the normalize + shingle projection
+    # runs post-shuffle on all workers: document corpora often arrive as few
+    # fat files and the string work would otherwise serialize on the scan
+    # partitioning (at sf0.1 the one-file scan stage ate 18s of a 20s query)
     spark = docs.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return (docs.select(F.col(id_col).alias("id"), t)
-            .repartition(n_parts, "id")
-            .select("id", F.explode(lst).alias("sh")))
+    return (docs.repartition(n_parts, id_col)
+            .select(F.col(id_col).alias("id"), t)
+            .select("id", _shingle_array_expr(k).alias("sha")))
+
+
+def shingle_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               k: int = K_SHINGLE) -> DataFrame:
+    """Exploded inverted-index form of :func:`shingle_array_df`: (id, sh).
+
+    ``explode_outer`` on purpose: plain ``explode`` makes the optimizer infer
+    a ``size(sha) > 0`` filter (InferFiltersFromGenerate) which predicate
+    pushdown then sinks BELOW the repartition into the scan stage — the whole
+    shingle expression would be evaluated a second time, serially, on the
+    unshuffled input. The array is never empty (greatest(…, 1) yields at
+    least one shingle), so outer semantics are identical here."""
+    return (shingle_array_df(docs, id_col, text_col, k)
+            .select("id", F.explode_outer("sha").alias("sh")))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -95,7 +121,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
     """Exact Jaccard near-dup pairs via the inverted shingle index:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     Integer intersection/union counts → the double division is bit-exact."""
-    sh = _df_capped(shingle_df(docs, id_col, text_col, k), max_df).persist()
+    # persist the RAW index too: _df_capped reads it twice (hot-shingle scan
+    # + anti-join probe) and each read would otherwise rebuild the shingles
+    raw = shingle_df(docs, id_col, text_col, k).persist()
+    sh = _df_capped(raw, max_df).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -110,15 +139,27 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
             .select("id_a", "id_b", "jaccard"))
 
 
+def _with_signature_cols(arr: DataFrame, n_hashes: int) -> DataFrame:
+    """Add mh0..mh{P-1} minhash columns to an (id, sha) frame — per-row array
+    expressions (one md5 per shingle, P cheap affine mixes), NO shuffle."""
+    hs = F.transform(F.col("sha"), lambda s: hash60_col(s))
+    out = arr.withColumn("_hs", hs)
+    mins = [F.array_min(F.transform(F.col("_hs"),
+                                    lambda h: mix60_col(h, p))).alias(f"mh{p}")
+            for p in range(n_hashes)]
+    return out.select("id", "sha", *mins)
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = N_HASHES,
                        k: int = K_SHINGLE) -> DataFrame:
-    """(id, mh0..mh{P-1}): minimum seeded hash over the doc's shingle set."""
-    sh = shingle_df(docs, id_col, text_col, k).withColumn(
-        "_h", hash60_col(F.col("sh")))
-    aggs = [F.min(mix60_col(F.col("_h"), p)).alias(f"mh{p}")
-            for p in range(n_hashes)]
-    return sh.groupBy("id").agg(*aggs)
+    """(id, mh0..mh{P-1}): minimum seeded hash over the doc's shingle set.
+
+    Computed entirely inside the scan projection (array transform + min) —
+    the groupBy-of-exploded-shingles formulation would shuffle one row per
+    shingle; this shuffles nothing."""
+    arr = shingle_array_df(docs, id_col, text_col, k)
+    return _with_signature_cols(arr, n_hashes).drop("sha")
 
 
 def _band_key_col(band: int, rows: int) -> Column:
@@ -148,28 +189,27 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
                             rows: int = LSH_ROWS, k: int = K_SHINGLE) -> DataFrame:
     """LSH candidates → exact-Jaccard verify: (id_a, id_b, jaccard >= t).
     Deterministic end-to-end (md5-seeded minhash), so the whole pipeline —
-    including LSH recall behavior — is oracle-checkable."""
-    # the shingle explode feeds 4 branches (signatures, sizes, both sides of
-    # the intersection join) — persist it once instead of recomputing the
-    # explode + md5 work per branch
-    sh = shingle_df(docs, id_col, text_col, k).persist()
-    # project the base md5 ONCE; the 16 mins see only cheap affine mixes
-    aggs = [F.min(mix60_col(F.col("_h"), p)).alias(f"mh{p}")
-            for p in range(n_hashes)]
-    # persist: tiny (one row per doc) but sits under BOTH sides of the band
-    # self-join — without it the shingle+md5+agg subtree runs once per side
-    sig = (sh.withColumn("_h", hash60_col(F.col("sh")))
-           .groupBy("id").agg(*aggs).persist())
+    including LSH recall behavior — is oracle-checkable.
+
+    Verify is a per-pair ``array_intersect`` over the two docs' shingle-set
+    arrays: each candidate pair moves exactly two arrays through the join
+    and the intersection count is a codegen'd row expression. (The inverted-
+    index formulation — cand ⋈ shingles ⋈ shingles, groupBy count — exploded
+    to |sh_a|·pairs shuffled rows: ~24M rows for 48k candidates at sf0.1.)"""
+    # one frame feeds signatures AND both verify sides — persist it once;
+    # per-doc arrays, so memory is ~the normalized corpus size
+    arr = _with_signature_cols(
+        shingle_array_df(docs, id_col, text_col, k), n_hashes).persist()
+    sig = arr.drop("sha")
     cand = lsh_candidate_pairs(sig, bands, rows)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    inter = (cand
-             .join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
-             .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-             .where(F.col("sh") == F.col("sh_b"))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("c")))
-    return (inter
-            .join(sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a")
-            .join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
+    sets_ = arr.select("id", "sha", F.size("sha").cast("long").alias("n"))
+    return (cand
+            .join(sets_.withColumnsRenamed(
+                {"id": "id_a", "sha": "sha_a", "n": "na"}), "id_a")
+            .join(sets_.withColumnsRenamed(
+                {"id": "id_b", "sha": "sha_b", "n": "nb"}), "id_b")
+            .withColumn("c", F.size(F.array_intersect("sha_a", "sha_b"))
+                        .cast("long"))
             .withColumn("jaccard", F.col("c").cast("double")
                         / (F.col("na") + F.col("nb") - F.col("c")).cast("double"))
             .where(F.col("jaccard") >= F.lit(threshold))
@@ -210,16 +250,24 @@ FROM comp c JOIN sizes s USING (component)"""
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = SIMHASH_BITS,
                        k: int = K_SHINGLE) -> DataFrame:
-    """(id, simhash): per-bit majority vote over the shingle-hash set."""
-    sh = shingle_df(docs, id_col, text_col, k).withColumn("h", hash60_col(F.col("sh")))
-    votes = [F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
-             for i in range(bits)]
-    agg = sh.groupBy("id").agg(*votes)
-    simhash = None
-    for i in range(bits):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-        simhash = term if simhash is None else simhash + term
-    return agg.select("id", simhash.alias("simhash"))
+    """(id, simhash): per-bit majority vote over the shingle-hash set.
+
+    Per-row array expressions inside the scan projection — bit i is set iff
+    more than half the shingle hashes have bit i set (identical to the ±1
+    vote sum > 0 the oracle SQL uses). No explode, no shuffle."""
+    arr = shingle_array_df(docs, id_col, text_col, k)
+    hs = F.transform(F.col("sha"), lambda s: hash60_col(s))
+    base = arr.select("id", hs.alias("_hs"), F.size("sha").alias("_n"))
+    terms = [
+        F.when(F.size(F.filter(
+            F.col("_hs"),
+            lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
+            * 2 > F.col("_n"), F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        for i in range(bits)]
+    simhash = terms[0]
+    for t in terms[1:]:
+        simhash = simhash + t
+    return base.select("id", simhash.alias("simhash"))
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,

@@ -53,7 +53,13 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
                               divided by n_bigrams
     """
     toks = F.split(normalize_col(F.col(text_col)), " ")
-    base = (docs.select(
+    # repartition the RAW rows first so the tokenize/bigram projections run
+    # post-shuffle on all workers instead of serializing on a one-file scan
+    # (see dedup.shingle_array_df for the same pattern + rationale)
+    spark = docs.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (docs.repartition(n_parts, id_col)
+        .select(
         F.col(id_col).cast("long").alias("id"),
         toks.alias("toks"))
         .where(F.size(F.col("toks")) >= 2)
@@ -63,7 +69,11 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
             F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
             _bigrams_col(F.col("toks")).alias("bigrams")))
     # (doc, bigram) counts: partial-aggregated map-side, then per-doc rollup.
-    bg = (base.select("id", F.explode("bigrams").alias("bigram"))
+    # explode_outer: plain explode would make the optimizer infer a
+    # size(bigrams) > 0 filter and sink the whole bigram expression into the
+    # scan stage (docs with >= 2 tokens always have >= 1 bigram, so outer
+    # semantics are identical).
+    bg = (base.select("id", F.explode_outer("bigrams").alias("bigram"))
           .groupBy("id", "bigram").agg(F.count("*").alias("cnt"))
           .groupBy("id").agg(
               F.sum("cnt").cast("long").alias("n_bigrams"),
