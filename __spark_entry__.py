@@ -24,8 +24,8 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import (classify, components, curation,
-                                        facade, knn,
+from geoclimate_spark.operators import (classify, components, contamination,
+                                        curation, facade, knn,
                                         overlay, repetition, smbr,
                                         raster, roads, similarity, windows,
                                         zonal)
@@ -335,6 +335,28 @@ def _q_overlay_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
         zones, layers.rect_layers_df(spark), list(layers.RECT_LAYER_NAMES))
 
 
+def _q_ground_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groundLayer analogue: per-atom priority winner via an explicit
+    first_value-style window over the DataFrame-native sorted-edge atom grid
+    (no Arrow UDF), rolled up per (zone, winning layer)."""
+    return overlay.ground_layer(
+        raster.zone_bounds_df(spark), layers.rect_layers_df(spark),
+        list(layers.RECT_LAYER_NAMES), SURFACE_PRIORITY)
+
+
+DIFF_MINUEND, DIFF_SUBTRAHEND = "veg", "water"
+
+
+def _q_layer_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric difference (veg MINUS water) per zone as combo-bitmask
+    algebra over the exact overlay atoms."""
+    zones = raster.zone_bounds_df(spark)
+    combos = overlay.overlay_rect_layers(
+        zones, layers.rect_layers_df(spark), list(layers.RECT_LAYER_NAMES))
+    return overlay.layer_difference(combos, list(layers.RECT_LAYER_NAMES),
+                                    DIFF_MINUEND, DIFF_SUBTRAHEND)
+
+
 DISSOLVE_BUFFER_E6 = 25_000
 
 
@@ -544,6 +566,17 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       SAMPLE_QUOTA)
 
 
+BENCH_QUOTA = 10
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing token 5-grams with
+    the (deterministically carved) benchmark set, via broadcast n-gram-hash
+    semi-join."""
+    return contamination.contamination_hits(_docs(spark, sf_dir),
+                                            bench_quota=BENCH_QUOTA)
+
+
 def _q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist anti-join → quality gate → per-domain hash-rank cap."""
     docs = _docs(spark, sf_dir)
@@ -630,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_lod_rollup": _q_tile_lod,
         "zone_surface_fractions": _q_surface_fractions,
         "zone_overlay_combos": _q_overlay_combos,
+        "zone_ground_layer": _q_ground_layer,
+        "zone_layer_difference": _q_layer_difference,
         "component_dissolve": _q_component_dissolve,
         "way_assembly": _q_way_assembly,
         "smbr_direction_distribution": _q_smbr_direction,
@@ -651,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "stratified_sample_lang": _q_stratified_sample,
         "domain_curation": _q_domain_curation,
+        "contamination_hits": _q_contamination,
     }
 
 
@@ -786,6 +822,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             PACK_BUDGET, PACK_SHARDS),
         "stratified_sample_lang": curation.stratified_sample_sql(
             "documents", "lang", SAMPLE_QUOTA),
+        "contamination_hits": contamination.contamination_hits_sql(
+            bench_quota=BENCH_QUOTA),
         "domain_curation": curation.domain_curation_sql(
             "documents", text_fn.text_metrics_sql("text")["quality"],
             CURATE_MIN_QUALITY, DOMAIN_BLOCKED, DOMAIN_CAP),
@@ -866,6 +904,14 @@ WHERE lon_e6 IS NOT NULL""",
         "theta_contact_pairs": facade.theta_contact_pairs_sql(
             _facade_pages_sql(), FACADE_BUFFER_E6),
         "zone_overlay_combos": _overlay_combos_oracle_sql(),
+        "zone_ground_layer": overlay.ground_layer_sql(
+            raster.zone_bounds_values_sql(),
+            f"SELECT layer, lon0, lat0, lon1, lat1 FROM"
+            f" ({layers.rect_layers_values_sql()}) r",
+            SURFACE_PRIORITY),
+        "zone_layer_difference": overlay.layer_difference_sql(
+            _overlay_combos_oracle_sql(), list(layers.RECT_LAYER_NAMES),
+            DIFF_MINUEND, DIFF_SUBTRAHEND),
         "zone_surface_fractions": overlay.surface_fractions_sql(
             _overlay_combos_oracle_sql(), raster.zone_bounds_values_sql(),
             list(layers.RECT_LAYER_NAMES), SURFACE_PRIORITY),

@@ -199,6 +199,158 @@ def surface_fractions(combos: DataFrame, zones: DataFrame,
           for n in priority + ["undefined"]])
 
 
+# ------------------------------------------------------------- ground layer
+def ground_layer(zones: DataFrame, rects: DataFrame, layer_names: list[str],
+                 priority: list[str]) -> DataFrame:
+    """Per-zone ground layer: every overlay atom is attributed to its
+    highest-priority covering layer with an explicit per-atom window
+    (`RsuIndicators.groovy:2261-2402` groundLayer: atoms take the winning
+    layer via a priority-ordered ``first_value`` over each smallest-common
+    geometry), then rolled up per (zone, layer).
+
+    Unlike :func:`overlay_rect_layers` (grouped Arrow UDF), this builds the
+    sorted-edge atom grid with PURE DataFrame ops: per-zone distinct edge
+    coordinates → ``lead()`` window pairs → x-cells × y-cells join →
+    containment left-join → ``row_number`` top-1 per atom. Every shuffle
+    partitions by zone_id; the layer side is broadcast.
+
+    Returns (zone_id, layer, area_e6sq, n_atoms); uncovered area appears as
+    layer 'none'. Σ area per zone == zone area.
+    """
+    from pyspark.sql import Window
+
+    z = zones.select("zone_id", "zlon0", "zlat0", "zlon1", "zlat1")
+    r = F.broadcast(rects).alias("r")
+    cand = (z.alias("z").join(
+        r, (F.col("r.lon0") < F.col("z.zlon1"))
+        & (F.col("r.lon1") > F.col("z.zlon0"))
+        & (F.col("r.lat0") < F.col("z.zlat1"))
+        & (F.col("r.lat1") > F.col("z.zlat0")))
+        .select(F.col("z.zone_id").alias("zone_id"), F.col("r.layer").alias("layer"),
+                F.greatest("r.lon0", "z.zlon0").alias("rx0"),
+                F.greatest("r.lat0", "z.zlat0").alias("ry0"),
+                F.least("r.lon1", "z.zlon1").alias("rx1"),
+                F.least("r.lat1", "z.zlat1").alias("ry1")))
+
+    def cells(edge_union: DataFrame, lo: str, hi: str) -> DataFrame:
+        w = Window.partitionBy("zone_id").orderBy("v")
+        return (edge_union.distinct()
+                .withColumn("_nxt", F.lead("v").over(w))
+                .where(F.col("_nxt").isNotNull())
+                .select("zone_id", F.col("v").alias(lo),
+                        F.col("_nxt").alias(hi)))
+
+    ex = (z.select("zone_id", F.col("zlon0").alias("v"))
+          .unionByName(z.select("zone_id", F.col("zlon1").alias("v")))
+          .unionByName(cand.select("zone_id", F.col("rx0").alias("v")))
+          .unionByName(cand.select("zone_id", F.col("rx1").alias("v"))))
+    ey = (z.select("zone_id", F.col("zlat0").alias("v"))
+          .unionByName(z.select("zone_id", F.col("zlat1").alias("v")))
+          .unionByName(cand.select("zone_id", F.col("ry0").alias("v")))
+          .unionByName(cand.select("zone_id", F.col("ry1").alias("v"))))
+    atoms = cells(ex, "ax0", "ax1").join(cells(ey, "ay0", "ay1"), "zone_id")
+
+    rank = F.lit(None).cast("long")
+    for i, name in enumerate(reversed(priority)):
+        rank = F.when(F.col("layer") == name,
+                      F.lit(len(priority) - 1 - i)).otherwise(rank)
+    hits = (atoms.alias("a").join(
+        F.broadcast(cand).alias("c"),
+        (F.col("a.zone_id") == F.col("c.zone_id"))
+        & (F.col("a.ax0") >= F.col("c.rx0")) & (F.col("a.ax0") < F.col("c.rx1"))
+        & (F.col("a.ay0") >= F.col("c.ry0")) & (F.col("a.ay0") < F.col("c.ry1")),
+        "left")
+        .select("a.zone_id", "a.ax0", "a.ax1", "a.ay0", "a.ay1",
+                rank.alias("_rank")))
+    # the per-atom first_value: lowest priority rank wins, NULL (uncovered)
+    # sorts last; one row per atom survives
+    aw = (Window.partitionBy("zone_id", "ax0", "ay0")
+          .orderBy(F.col("_rank").asc_nulls_last()))
+    winners = (hits.withColumn("_rn", F.row_number().over(aw))
+               .where(F.col("_rn") == 1))
+    name_case = F.lit("none")
+    for i, name in enumerate(priority):
+        name_case = F.when(F.col("_rank") == i, F.lit(name)).otherwise(name_case)
+    return (winners
+            .select("zone_id", name_case.alias("layer"),
+                    ((F.col("ax1") - F.col("ax0"))
+                     * (F.col("ay1") - F.col("ay0"))).alias("_area"))
+            .groupBy("zone_id", "layer")
+            .agg(F.sum("_area").cast("long").alias("area_e6sq"),
+                 F.count("*").cast("long").alias("n_atoms")))
+
+
+def ground_layer_sql(zones_sql: str, rects_sql: str,
+                     priority: list[str]) -> str:
+    """DuckDB mirror of :func:`ground_layer` (same LEAD-pair atom grid,
+    same per-atom priority window)."""
+    rank_case = ("CASE c.layer " + " ".join(
+        f"WHEN '{n}' THEN {i}" for i, n in enumerate(priority)) + " END")
+    name_case = ("CASE _rank " + " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(priority))
+        + " ELSE 'none' END")
+    return f"""WITH zones AS ({zones_sql}),
+rl AS ({rects_sql}),
+cand AS (SELECT z.zone_id, r.layer,
+       GREATEST(r.lon0, z.zlon0) AS rx0, GREATEST(r.lat0, z.zlat0) AS ry0,
+       LEAST(r.lon1, z.zlon1) AS rx1, LEAST(r.lat1, z.zlat1) AS ry1
+  FROM zones z JOIN rl r ON r.lon0 < z.zlon1 AND r.lon1 > z.zlon0
+   AND r.lat0 < z.zlat1 AND r.lat1 > z.zlat0),
+ex AS (SELECT DISTINCT zone_id, v FROM (
+    SELECT zone_id, zlon0 AS v FROM zones UNION ALL SELECT zone_id, zlon1 FROM zones
+    UNION ALL SELECT zone_id, rx0 FROM cand UNION ALL SELECT zone_id, rx1 FROM cand)),
+xc AS (SELECT zone_id, v AS ax0,
+       LEAD(v) OVER (PARTITION BY zone_id ORDER BY v) AS ax1 FROM ex),
+ey AS (SELECT DISTINCT zone_id, v FROM (
+    SELECT zone_id, zlat0 AS v FROM zones UNION ALL SELECT zone_id, zlat1 FROM zones
+    UNION ALL SELECT zone_id, ry0 FROM cand UNION ALL SELECT zone_id, ry1 FROM cand)),
+yc AS (SELECT zone_id, v AS ay0,
+       LEAD(v) OVER (PARTITION BY zone_id ORDER BY v) AS ay1 FROM ey),
+atoms AS (SELECT xc.zone_id, ax0, ax1, ay0, ay1
+  FROM xc JOIN yc ON xc.zone_id = yc.zone_id
+  WHERE ax1 IS NOT NULL AND ay1 IS NOT NULL),
+hits AS (SELECT a.zone_id, a.ax0, a.ax1, a.ay0, a.ay1, {rank_case} AS _rank
+  FROM atoms a LEFT JOIN cand c ON c.zone_id = a.zone_id
+   AND a.ax0 >= c.rx0 AND a.ax0 < c.rx1 AND a.ay0 >= c.ry0 AND a.ay0 < c.ry1),
+winners AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY zone_id, ax0, ay0
+       ORDER BY _rank ASC NULLS LAST) AS _rn FROM hits)
+SELECT zone_id, {name_case} AS layer,
+       CAST(SUM((ax1 - ax0) * (ay1 - ay0)) AS BIGINT) AS area_e6sq,
+       COUNT(*) AS n_atoms
+FROM winners WHERE _rn = 1 GROUP BY 1, 2"""
+
+
+# ------------------------------------------------------- geometric difference
+def layer_difference(combos: DataFrame, layer_names: list[str],
+                     minuend: str, subtrahend: str) -> DataFrame:
+    """Per-zone exact area of ``minuend`` MINUS ``subtrahend`` (the §2.8
+    geometric-difference shape, e.g. vegetation minus water in
+    `RsuIndicators.groovy:1424-1445`): sum of overlay atoms covered by the
+    minuend layer and NOT by the subtrahend. Pure combo-bitmask arithmetic
+    over the :func:`overlay_rect_layers` output — the overlay is computed
+    once and every boolean layer algebra question is a filter over it."""
+    a_bit = 1 << layer_names.index(minuend)
+    b_bit = 1 << layer_names.index(subtrahend)
+    return (combos
+            .where((F.col("combo").bitwiseAND(F.lit(a_bit)) != 0)
+                   & (F.col("combo").bitwiseAND(F.lit(b_bit)) == 0))
+            .groupBy("zone_id")
+            .agg(F.sum("area_e6sq").cast("long").alias("diff_area_e6sq"),
+                 F.sum("n_atoms").cast("long").alias("n_atoms")))
+
+
+def layer_difference_sql(combos_sql: str, layer_names: list[str],
+                         minuend: str, subtrahend: str) -> str:
+    a_bit = 1 << layer_names.index(minuend)
+    b_bit = 1 << layer_names.index(subtrahend)
+    return f"""WITH combos AS ({combos_sql})
+SELECT zone_id, CAST(SUM(area_e6sq) AS BIGINT) AS diff_area_e6sq,
+       CAST(SUM(n_atoms) AS BIGINT) AS n_atoms
+FROM combos
+WHERE (combo & {a_bit}) != 0 AND (combo & {b_bit}) = 0
+GROUP BY zone_id"""
+
+
 HULL_SCHEMA = T.StructType([
     T.StructField("component", T.LongType()),
     T.StructField("n_points", T.LongType()),

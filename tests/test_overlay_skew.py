@@ -119,3 +119,39 @@ def test_key_skew_stats(spark):
     top = skew.key_skew_stats(df, ["k"], top=3).toPandas()
     assert top.iloc[0].k == 0 and top.iloc[0].n == 400
     assert abs(top.iloc[0].share - 0.8) < 1e-12
+
+
+def test_ground_layer_hand_case_and_invariants(spark):
+    zones = _zone(spark, 7, 0, 0, 10, 10)
+    # water wins over a where they overlap (priority order below)
+    rects = _rects(spark, [("veg", 0, 0, 5, 10), ("water", 3, 0, 10, 4)])
+    got = (overlay.ground_layer(zones, rects, ["veg", "water"],
+                                ["water", "veg"])
+           .toPandas().set_index("layer").area_e6sq.to_dict())
+    # water rect area 7x4=28; veg-only = 5x10 - (2x4 overlap)=42; rest none
+    assert got == {"water": 28, "veg": 42, "none": 30}
+    assert sum(got.values()) == 100
+
+
+def test_ground_layer_matches_surface_fraction_attribution(spark):
+    from geoclimate_spark.sources import layers
+    zones = raster.zone_bounds_df(spark)
+    rects = layers.rect_layers_df(spark)
+    names = list(layers.RECT_LAYER_NAMES)
+    prio = ["water", "builtup", "veg"]
+    gl = (overlay.ground_layer(zones, rects, names, prio)
+          .groupBy("zone_id").agg(F.sum("area_e6sq").alias("a")).toPandas())
+    za = zones.select("zone_id",
+                      ((F.col("zlon1") - F.col("zlon0"))
+                       * (F.col("zlat1") - F.col("zlat0"))).alias("za")).toPandas()
+    m = gl.merge(za, on="zone_id", how="outer")
+    assert (m.a == m.za).all()  # per-zone atom areas tile the zone exactly
+
+
+def test_layer_difference_set_algebra(spark):
+    zones = _zone(spark, 1, 0, 0, 10, 10)
+    rects = _rects(spark, [("a", 0, 0, 6, 10), ("b", 4, 0, 10, 10)])
+    combos = overlay.overlay_rect_layers(zones, rects, ["a", "b"])
+    d = (overlay.layer_difference(combos, ["a", "b"], "a", "b")
+         .collect())
+    assert len(d) == 1 and d[0].diff_area_e6sq == 40  # 6x10 minus 2x10 overlap
