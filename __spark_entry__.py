@@ -114,11 +114,18 @@ LANG_BUCKETS = {"latin": ("de", "en", "es", "fr"), "cjk": ("zh",)}
 
 
 def _zoned_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(page_id, zone_id, lon_e6, lat_e6, lang, chars) — extraction + PIP."""
+    """(page_id, zone_id, lon_e6, lat_e6, lang, chars) — extraction + PIP.
+
+    Persisted: the html-extraction + PIP subtree is the most expensive base
+    frame and multi-branch consumers (CC + joins, facade pair sides, SMBR)
+    would otherwise re-run it once per branch. Spark's CacheManager matches
+    canonicalized plans, so every later call with the same sf_dir reuses the
+    same cache entry; the frame is a few columns per page (tiny) and the
+    bench/driver clear the cache between queries."""
     g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
     g = g.withColumn("chars", F.length("text_extracted").cast("long"))
     return spatial_join_points(g, layers.climate_zones(),
-                               passthrough=["lang", "chars"])
+                               passthrough=["lang", "chars"]).persist()
 
 
 def _q_zonal_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,8 +182,9 @@ EMB_DUP_T = 0.4
 
 
 def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted for the same multi-branch reasons as _zoned_pages
     g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
-    return g.select("page_id", "lon_e6", "lat_e6")
+    return g.select("page_id", "lon_e6", "lat_e6").persist()
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

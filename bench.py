@@ -34,6 +34,14 @@ def main() -> None:
     spark = get_spark(app="bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up codegen/JIT/parquet-footer paths on the smallest fixture so
+    # the first timed query does not absorb one-time JVM costs
+    try:
+        entrymod.entry(spark).count()
+        spark.catalog.clearCache()
+    except Exception as e:  # pragma: no cover - warmup must never kill bench
+        print(f"# warmup failed: {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         # isolate queries: operators persist intermediates (shingle sets,

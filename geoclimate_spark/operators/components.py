@@ -74,17 +74,21 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     # entirely (most docs are not near-dups; most points are not in dense
     # blocks) and union them back as their own singleton components. This
     # shrinks every round's join input from |V| to |V_with_edges|.
+    # persist (lazy), not localCheckpoint (eager): these derive from the
+    # already-materialized edge checkpoint by one cheap shuffle, and their
+    # lineage is static across rounds — an eager checkpoint would pay a
+    # whole extra job each just to save that shuffle once.
     edge_verts = (edges.select(F.col("id_a").alias("vid"))
                   .union(edges.select(F.col("id_b").alias("vid")))
                   .distinct()
-                  .localCheckpoint())
+                  .persist())
     iso = (vertices.select(F.col(key).alias("vid"))
            .join(edge_verts, "vid", "left_anti"))
     sym = (edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
            .union(edge_verts.select(F.col("vid").alias("src"),
                                     F.col("vid").alias("dst"))))
-    sym = sym.localCheckpoint()
+    sym = sym.persist()
     labels = edge_verts.select("vid", F.col("vid").alias("label"))
     changed = -1
     for it in range(max_iter):
