@@ -26,9 +26,9 @@ from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
 from geoclimate_spark.operators import (classify, components, contamination,
                                         curation, facade, knn,
-                                        overlay, repetition, smbr,
-                                        raster, roads, similarity, windows,
-                                        zonal)
+                                        overlay, polygon_overlay, repetition,
+                                        smbr, raster, roads, similarity,
+                                        windows, zonal)
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
@@ -382,6 +382,23 @@ def _q_component_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("hull_area"))
 
 
+def _q_poly_pair_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-POLYGON overlay: exact convex zone × layer-feature intersection
+    areas as a pure relational program (candidate points → pseudo-angle sort
+    → cumulative shoelace); bit-deterministic vs the DuckDB oracle."""
+    return polygon_overlay.convex_pair_areas(
+        layers.poly_zone_vertices_df(spark),
+        layers.poly_feature_vertices_df(spark))
+
+
+def _q_poly_layer_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = polygon_overlay.convex_pair_areas(
+        layers.poly_zone_vertices_df(spark),
+        layers.poly_feature_vertices_df(spark))
+    return polygon_overlay.layer_cover(pairs,
+                                       layers.poly_zone_vertices_df(spark))
+
+
 WAY_SIZE = 5
 
 
@@ -675,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_layer_difference": _q_layer_difference,
         "component_dissolve": _q_component_dissolve,
         "way_assembly": _q_way_assembly,
+        "poly_pair_intersections": _q_poly_pair_areas,
+        "poly_zone_layer_cover": _q_poly_layer_cover,
         "smbr_direction_distribution": _q_smbr_direction,
         "facade_area_distribution": _q_facade_distribution,
         "frontal_area_index": _q_frontal_area_index,
@@ -898,6 +917,14 @@ WHERE lon_e6 IS NOT NULL""",
                 "zone_id", dist_op.octant_bin_sql("dx", "dy"), "chars"),
             "zone_id", [f"b{i}" for i in range(8)]),
         "way_assembly": assembly.assemble_rings_sql(_way_parts_sql()),
+        "poly_pair_intersections": polygon_overlay.convex_pair_areas_sql(
+            layers.poly_zone_vertices_values_sql(),
+            layers.poly_feature_vertices_values_sql()),
+        "poly_zone_layer_cover": polygon_overlay.layer_cover_sql(
+            polygon_overlay.convex_pair_areas_sql(
+                layers.poly_zone_vertices_values_sql(),
+                layers.poly_feature_vertices_values_sql()),
+            layers.poly_zone_vertices_values_sql()),
         "smbr_direction_distribution": _smbr_oracle_sql(),
         "facade_area_distribution": facade.facade_area_distribution_sql(
             _facade_pages_sql(), raster.zone_bounds_values_sql(),

@@ -187,6 +187,99 @@ def rect_layers_values_sql() -> str:
             + "\n) AS t(rect_id, layer, lon0, lat0, lon1, lat1)")
 
 
+# ------------------------------------------------------ convex polygon layers
+# Real-POLYGON overlay fixtures (`smallestCommunGeometry` with arbitrary
+# geometry, `RsuIndicators.groovy:1484-1489`): strictly-convex integer
+# polygons in a local ±500k patch. The coordinate bound is load-bearing —
+# it keeps every cross product and segment-intersection numerator exactly
+# representable in int64 on BOTH engines (|coord| ≤ 5e5 → edge cross ≤ 4e11,
+# intersection numerators ≤ ~5e18 < 2^63), so the polygon clipping in
+# operators/polygon_overlay.py is bit-deterministic vs the DuckDB oracle.
+POLY_LAYER_NAMES = ("canopy", "urban", "flood")
+
+
+def _lcg(s: int) -> int:
+    return (s * 48_271 + 11) % 2_147_483_647
+
+
+def _synth_convex(n: int, seed: int, rmin: int, rmax: int,
+                  cbound: int = 400_000) -> list[np.ndarray]:
+    """n deterministic strictly-convex CCW integer polygons.
+
+    Cloud of 10 LCG points → float hull → round to int → hull again (exact
+    for these magnitudes: products < 2^53, so the float cross test is exact
+    and the result is strictly convex with collinear triples removed)."""
+    from .. import geometry
+    s = seed
+    out = []
+    while len(out) < n:
+        s = _lcg(s); cx = s % (2 * cbound + 1) - cbound
+        s = _lcg(s); cy = s % (2 * cbound + 1) - cbound
+        s = _lcg(s); r = rmin + s % (rmax - rmin)
+        pts = []
+        for _ in range(10):
+            s = _lcg(s); dx = s % (2 * r + 1) - r
+            s = _lcg(s); dy = s % (2 * r + 1) - r
+            pts.append((cx + dx, cy + dy))
+        hull = geometry.convex_hull(np.asarray(pts, np.float64))
+        hull = np.rint(hull).astype(np.int64)
+        hull = geometry.convex_hull(hull.astype(np.float64)).astype(np.int64)
+        if len(hull) >= 3:
+            out.append(hull)
+    return out
+
+
+def synth_poly_zone_rows(n: int = 40) -> list[tuple[int, int, int, int]]:
+    """(zone_id, seq, x, y) CCW vertex rows of convex polygon zones."""
+    rows = []
+    for zid, hull in enumerate(_synth_convex(n, seed=931, rmin=30_000,
+                                             rmax=100_000)):
+        rows += [(zid, k, int(x), int(y)) for k, (x, y) in enumerate(hull)]
+    return rows
+
+
+def synth_poly_feature_rows(per_layer: int = 40) -> list[tuple[int, str, int, int, int]]:
+    """(feat_id, layer, seq, x, y) CCW vertex rows of convex layer features."""
+    rows = []
+    fid = 0
+    for li, layer in enumerate(POLY_LAYER_NAMES):
+        for hull in _synth_convex(per_layer, seed=1_117 + 7 * li,
+                                  rmin=10_000, rmax=60_000):
+            rows += [(fid, layer, k, int(x), int(y))
+                     for k, (x, y) in enumerate(hull)]
+            fid += 1
+    return rows
+
+
+def poly_zone_vertices_df(spark):
+    return spark.createDataFrame(
+        synth_poly_zone_rows(), "zone_id long, seq long, x long, y long")
+
+
+def poly_feature_vertices_df(spark):
+    return spark.createDataFrame(
+        synth_poly_feature_rows(),
+        "feat_id long, layer string, seq long, x long, y long")
+
+
+def poly_zone_vertices_values_sql() -> str:
+    vals = ",\n  ".join(f"({z}, {s}, {x}, {y})"
+                        for z, s, x, y in synth_poly_zone_rows())
+    return ("SELECT CAST(zone_id AS BIGINT) AS zone_id,"
+            " CAST(seq AS BIGINT) AS seq,"
+            " CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y"
+            " FROM (VALUES\n  " + vals + "\n) AS t(zone_id, seq, x, y)")
+
+
+def poly_feature_vertices_values_sql() -> str:
+    vals = ",\n  ".join(f"({f}, '{l}', {s}, {x}, {y})"
+                        for f, l, s, x, y in synth_poly_feature_rows())
+    return ("SELECT CAST(feat_id AS BIGINT) AS feat_id, layer,"
+            " CAST(seq AS BIGINT) AS seq,"
+            " CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y"
+            " FROM (VALUES\n  " + vals + "\n) AS t(feat_id, layer, seq, x, y)")
+
+
 def voronoi_zones(n: int = 40, seed: int = 42,
                   bbox=(-20.0, 30.0, 30.0, 60.0)) -> list[Zone]:
     """Seeded convex zones ("Europe patch"): convex hulls of jittered point
