@@ -30,18 +30,74 @@ and DuckDB:
   (3·dy² vs dx²); the irrational boundaries are unreachable for integer
   vectors, so no boundary ambiguity exists.
 
-Scale: the pair-direction scan is O(n³) per component — components are
-block-scale (bounded by the CC radius), so n stays small; a production path
-for huge components would hull-first (rotating calipers), which changes
-nothing downstream. All set operations are equi-joins on the component id.
+Scale: the engine reduces each component to its EXACT integer convex hull
+first (:func:`hull_points`, Arrow-batched) and scans only hull-point pairs —
+O(h³) with h ≪ n, valid by the hull-edge theorem; the DuckDB oracle keeps
+the independent full O(n³) pair scan. All set operations are equi-joins on
+the component id.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BINS = 6  # 30° sectors of [0, 180)
+HULL_MIN_N = 64  # hull-reduce only components where the O(n³) scan dominates
+
+
+def _int_hull(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Andrew's monotone chain on EXACT Python ints (float cross products
+    overflow 2^53 at µ° magnitudes — a misclassified near-collinear point
+    could drop a true hull vertex and flip the SMBR winner vs the oracle).
+    ``pts`` must be sorted; collinear boundary points are dropped (their
+    pair directions are parallel to the surviving edge, so the direction
+    superset is unchanged)."""
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        h: list[tuple[int, int]] = []
+        for p in seq:
+            while len(h) >= 2 and ((h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                                   - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return lower[:-1] + upper[:-1]
+
+
+def hull_points(comp_pts: DataFrame) -> DataFrame:
+    """Per-component exact convex hull vertices (min pid per coordinate).
+
+    The scale lever for :func:`smbr_per_component`: the pair-direction scan
+    is O(h³) on h hull points instead of O(n³) on all points — valid because
+    the minimum enclosing rectangle has a side collinear with a hull EDGE
+    (every hull-edge direction is a hull-point pair direction) and
+    projection/cross extrema are attained at hull vertices. Arrow-batched
+    per-component group work, bounded by component size.
+    """
+    schema = "component long, pid long, x long, y long"
+
+    def run(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for g in groups:
+            comp = int(g["component"].iloc[0])
+            by_xy = g.groupby(["x", "y"], as_index=False)["pid"].min()
+            pts = sorted((int(x), int(y)) for x, y in
+                         zip(by_xy["x"], by_xy["y"]))
+            hull = set(_int_hull(pts))
+            keep = by_xy[[(int(x), int(y)) in hull
+                          for x, y in zip(by_xy["x"], by_xy["y"])]]
+            yield pd.DataFrame({"component": comp, "pid": keep["pid"],
+                                "x": keep["x"], "y": keep["y"]})
+
+    return comp_pts.groupBy("component").applyInPandas(run, schema)
 
 
 def _norm_dir(dx: Column, dy: Column) -> tuple[Column, Column]:
@@ -85,9 +141,21 @@ def smbr_per_component(comp_pts: DataFrame) -> DataFrame:
     (component, dx, dy, len2, d_p, d_c) — winning direction (normalized),
     its squared length, and the projection/cross extents.
     """
+    # hull-first, ADAPTIVE: components above HULL_MIN_N points are reduced
+    # to their exact hull before the O(n³) scan (the asymptotic guard —
+    # a 10^4-point block would otherwise cost 10^12 pair-extents); small
+    # components skip the Arrow hop because per-tiny-group pandas overhead
+    # exceeds the scan saved. On degenerate all-collinear components every
+    # pair direction ties at area 0 and the hull pair wins instead of the
+    # lowest-id pair — the downstream (bin, w) weights are identical either
+    # way because w and bin are invariant under direction rescaling.
+    nw = Window.partitionBy("component")
+    sized = comp_pts.withColumn("_n", F.count("*").over(nw))
+    small = sized.where(F.col("_n") <= HULL_MIN_N).drop("_n")
+    big = sized.where(F.col("_n") > HULL_MIN_N).drop("_n")
     # consumed three times (both self-join sides + the extent join); the
     # upstream is typically a CC join with a long lineage — materialize once
-    comp_pts = comp_pts.persist()
+    comp_pts = small.unionByName(hull_points(big)).persist()
     a, b = comp_pts.alias("a"), comp_pts.alias("b")
     raw = (a.join(b, (F.col("a.component") == F.col("b.component"))
                   & (F.col("a.pid") < F.col("b.pid")))
