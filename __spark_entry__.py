@@ -406,22 +406,35 @@ def _q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ways→rings assembly: ordered synthetic parts (LCG points, WAY_SIZE
     parts per way) grouped + sorted + ring-closed; exact shoelace and
     floor-perimeter metrics."""
+    return assembly.assemble_rings(_way_parts_df(spark, sf_dir))
+
+
+def _way_parts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multipliers must exceed the 2^31-1 modulus so the hash wraps from
+    # doc_id=2 on — with small multipliers (48271) and fixture-scale doc_ids
+    # the modulus never engages, x/y stay LINEAR in doc_id, and every way
+    # is a degenerate zero-area collinear chain
     d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long"))
-    parts = d.select(
+    return d.select(
         (F.col("doc_id") / WAY_SIZE).cast("long").alias("way_id"),
         (F.col("doc_id") % WAY_SIZE).alias("seq"),
-        ((F.col("doc_id") * 48271 + 11) % 2147483647 % 360000001
+        ((F.col("doc_id") * 1103515245 + 12345) % 2147483647 % 360000001
          - 180000000).alias("x"),
-        ((F.col("doc_id") * 16807 + 7) % 2147483647 % 140000001
+        ((F.col("doc_id") * 1588635695 + 7) % 2147483647 % 140000001
          - 70000000).alias("y"))
-    return assembly.assemble_rings(parts)
+
+
+def _q_way_size_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size/form properties with true CONCAVITY (ring area / convex-hull
+    area) — hull area via the relational hull-edge predicate."""
+    return assembly.size_properties(_way_parts_df(spark, sf_dir))
 
 
 def _way_parts_sql() -> str:
     return f"""SELECT CAST(doc_id // {WAY_SIZE} AS BIGINT) AS way_id,
        CAST(doc_id % {WAY_SIZE} AS BIGINT) AS seq,
-       CAST((doc_id * 48271 + 11) % 2147483647 % 360000001 - 180000000 AS BIGINT) AS x,
-       CAST((doc_id * 16807 + 7) % 2147483647 % 140000001 - 70000000 AS BIGINT) AS y
+       CAST((doc_id * 1103515245 + 12345) % 2147483647 % 360000001 - 180000000 AS BIGINT) AS x,
+       CAST((doc_id * 1588635695 + 7) % 2147483647 % 140000001 - 70000000 AS BIGINT) AS y
 FROM documents"""
 
 
@@ -694,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_assembly": _q_way_assembly,
         "poly_pair_intersections": _q_poly_pair_areas,
         "poly_zone_layer_cover": _q_poly_layer_cover,
+        "way_size_properties": _q_way_size_props,
         "smbr_direction_distribution": _q_smbr_direction,
         "facade_area_distribution": _q_facade_distribution,
         "frontal_area_index": _q_frontal_area_index,
@@ -917,6 +931,7 @@ WHERE lon_e6 IS NOT NULL""",
                 "zone_id", dist_op.octant_bin_sql("dx", "dy"), "chars"),
             "zone_id", [f"b{i}" for i in range(8)]),
         "way_assembly": assembly.assemble_rings_sql(_way_parts_sql()),
+        "way_size_properties": assembly.size_properties_sql(_way_parts_sql()),
         "poly_pair_intersections": polygon_overlay.convex_pair_areas_sql(
             layers.poly_zone_vertices_values_sql(),
             layers.poly_feature_vertices_values_sql()),

@@ -79,6 +79,93 @@ def assemble_rings(parts: DataFrame, way: str = "way_id", seq: str = "seq",
                     area2.alias("area2_e6sq"), perim.alias("perim_floor_e6")))
 
 
+def size_properties(parts: DataFrame, way: str = "way_id", seq: str = "seq",
+                    x: str = "x", y: str = "y") -> DataFrame:
+    """Per-way size/form properties incl. CONCAVITY — ring area divided by
+    convex-hull area (`/root/reference/geoindicators/.../
+    BuildingIndicators.groovy:210,254`: ``ST_AREA(g)/ST_AREA(ST_CONVEXHULL
+    (g))``).
+
+    The hull area is computed RELATIONALLY (no sequential hull walk): a
+    directed point pair (p, q) is a CCW hull edge iff every other vertex r
+    is strictly left of it (cross(q−p, r−p) > 0, or collinear AND strictly
+    between p and q — keeps only the maximal edge of collinear chains), and
+    because the surviving edges form the hull cycle, Σ (px·qy − qx·py) over
+    the SET of hull edges equals 2·hull-area with no ordering step. All
+    predicates and sums are exact int64 on both engines. O(n³) per way with
+    n ≤ way size (bounded, OSM-style); everything is an equi-join on the
+    way id.
+
+    Returns (way_id, area2_e6sq, hull_area2_e6sq, concavity); fully
+    collinear ways yield NULL concavity.
+    """
+    dpts = (parts.select(F.col(way).alias("way_id"),
+                         F.col(x).cast("long").alias("x"),
+                         F.col(y).cast("long").alias("y"))
+            .distinct())
+    p = dpts.select("way_id", F.col("x").alias("px"), F.col("y").alias("py"))
+    q = dpts.select("way_id", F.col("x").alias("qx"), F.col("y").alias("qy"))
+    r = dpts.select("way_id", F.col("x").alias("rx"), F.col("y").alias("ry"))
+    pq = (p.join(q, "way_id")
+          .where((F.col("px") != F.col("qx")) | (F.col("py") != F.col("qy"))))
+    cr = ((F.col("qx") - F.col("px")) * (F.col("ry") - F.col("py"))
+          - (F.col("qy") - F.col("py")) * (F.col("rx") - F.col("px")))
+    dot = ((F.col("rx") - F.col("px")) * (F.col("qx") - F.col("px"))
+           + (F.col("ry") - F.col("py")) * (F.col("qy") - F.col("py")))
+    len2 = ((F.col("qx") - F.col("px")) * (F.col("qx") - F.col("px"))
+            + (F.col("qy") - F.col("py")) * (F.col("qy") - F.col("py")))
+    is_end = (((F.col("rx") == F.col("px")) & (F.col("ry") == F.col("py")))
+              | ((F.col("rx") == F.col("qx")) & (F.col("ry") == F.col("qy"))))
+    ok = is_end | (cr > 0) | ((cr == 0) & (dot > 0) & (dot < len2))
+    hull = (pq.join(r, "way_id")
+            .groupBy("way_id", "px", "py", "qx", "qy")
+            .agg(F.bool_and(ok).alias("_edge"))
+            .where(F.col("_edge"))
+            .groupBy("way_id")
+            .agg(F.sum(F.col("px") * F.col("qy")
+                       - F.col("qx") * F.col("py")).alias("hull_area2_e6sq")))
+    rings = assemble_rings(parts, way, seq, x, y)
+    return (rings.select("way_id", "area2_e6sq")
+            .join(hull, "way_id")
+            .select("way_id", "area2_e6sq",
+                    F.col("hull_area2_e6sq").cast("long").alias("hull_area2_e6sq"),
+                    F.when(F.col("hull_area2_e6sq") > 0,
+                           F.col("area2_e6sq").cast("double")
+                           / F.col("hull_area2_e6sq").cast("double"))
+                    .alias("concavity")))
+
+
+def size_properties_sql(parts_sql: str, way: str = "way_id",
+                        seq: str = "seq", x: str = "x", y: str = "y") -> str:
+    """DuckDB mirror of :func:`size_properties` (identical hull-edge
+    predicate and integer sums)."""
+    rings = assemble_rings_sql(parts_sql, way, seq, x, y)
+    return f"""WITH parts0 AS ({parts_sql}),
+dpts AS (SELECT DISTINCT {way} AS way_id, CAST({x} AS BIGINT) AS x,
+                CAST({y} AS BIGINT) AS y FROM parts0),
+pq AS (SELECT p.way_id, p.x AS px, p.y AS py, q.x AS qx, q.y AS qy
+  FROM dpts p JOIN dpts q USING (way_id)
+  WHERE p.x != q.x OR p.y != q.y),
+hull_edges AS (SELECT way_id, px, py, qx, qy
+  FROM pq JOIN dpts r USING (way_id)
+  GROUP BY way_id, px, py, qx, qy
+  HAVING BOOL_AND(
+       ((r.x = px AND r.y = py) OR (r.x = qx AND r.y = qy))
+    OR (qx - px) * (r.y - py) - (qy - py) * (r.x - px) > 0
+    OR ((qx - px) * (r.y - py) - (qy - py) * (r.x - px) = 0
+        AND (r.x - px) * (qx - px) + (r.y - py) * (qy - py) > 0
+        AND (r.x - px) * (qx - px) + (r.y - py) * (qy - py)
+            < (qx - px) * (qx - px) + (qy - py) * (qy - py)))),
+hull AS (SELECT way_id, CAST(SUM(px * qy - qx * py) AS BIGINT)
+         AS hull_area2_e6sq FROM hull_edges GROUP BY way_id),
+rings AS ({rings})
+SELECT r.way_id, r.area2_e6sq, h.hull_area2_e6sq,
+       CASE WHEN h.hull_area2_e6sq > 0
+            THEN CAST(r.area2_e6sq AS DOUBLE)
+                 / CAST(h.hull_area2_e6sq AS DOUBLE) END AS concavity
+FROM rings r JOIN hull h USING (way_id)"""
+
+
 def assemble_rings_sql(parts_sql: str, way: str = "way_id", seq: str = "seq",
                        x: str = "x", y: str = "y") -> str:
     """DuckDB mirror via LEAD/FIRST_VALUE windows: consecutive part edges
