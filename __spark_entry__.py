@@ -391,6 +391,15 @@ def _q_poly_pair_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         layers.poly_feature_vertices_df(spark))
 
 
+def _q_nc_poly_pair_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-convex zone overlay: concave simple-polygon zones × convex layer
+    features via grouped Sutherland–Hodgman; oracle = relational sum over
+    the fixture's convex decomposition."""
+    return polygon_overlay.simple_poly_pair_areas(
+        layers.nc_zone_ring_df(spark),
+        layers.poly_feature_vertices_df(spark))
+
+
 def _q_poly_layer_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = polygon_overlay.convex_pair_areas(
         layers.poly_zone_vertices_df(spark),
@@ -657,6 +666,40 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(_docs(spark, sf_dir), threshold=MINHASH_T)
 
 
+STREAM_SPLIT_ID, RECRAWL_K, RECRAWL_OFF = 250, 50, 1_000_000
+
+
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO real availableNow streaming runs through the incremental exact
+    dedup (persistent fingerprint store, idempotent batch partitions):
+    chunk1 = docs below STREAM_SPLIT_ID, chunk2 = the rest plus re-crawled
+    copies of the first RECRAWL_K docs under offset ids. Because chunk ids
+    are monotone across batches, the online greedy result equals the batch
+    answer MIN(doc_id) per fingerprint — which is the DuckDB oracle, so the
+    streaming state machinery itself is hash-checked by the driver."""
+    import tempfile
+
+    from pathlib import Path as _P
+
+    from geoclimate_spark.streaming import dedup as stream_dedup
+
+    tmp = _P(tempfile.mkdtemp(prefix="gc_stream_dedup_"))
+    d = _docs(spark, sf_dir)
+    recrawl = (d.where(F.col("doc_id") < RECRAWL_K)
+               .withColumn("doc_id", F.col("doc_id") + RECRAWL_OFF))
+    c1 = d.where(F.col("doc_id") < STREAM_SPLIT_ID)
+    c2 = d.where(F.col("doc_id") >= STREAM_SPLIT_ID).unionByName(recrawl)
+    run = lambda: stream_dedup.run_incremental_dedup(
+        spark, str(tmp / "in" / "*"), str(tmp / "store"), str(tmp / "out"),
+        str(tmp / "ck"), schema=d.schema, mode="exact")
+    c1.write.mode("overwrite").parquet(str(tmp / "in" / "chunk1"))
+    run()
+    c2.write.mode("overwrite").parquet(str(tmp / "in" / "chunk2"))
+    run()
+    return (stream_dedup.kept_documents(spark, str(tmp / "out"))
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
 def _q_page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _geo_points(spark, sf_dir)
     edges = components.proximity_edges(pts, CC_RADIUS_E6)
@@ -707,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_assembly": _q_way_assembly,
         "poly_pair_intersections": _q_poly_pair_areas,
         "poly_zone_layer_cover": _q_poly_layer_cover,
+        "nc_poly_pair_intersections": _q_nc_poly_pair_areas,
         "way_size_properties": _q_way_size_props,
         "smbr_direction_distribution": _q_smbr_direction,
         "facade_area_distribution": _q_facade_distribution,
@@ -723,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_zone_assignment": _q_rect_zone_assignment,
         "event_props_rollup": _q_event_props_rollup,
         "near_dup_clusters": _q_near_dup_clusters,
+        "streaming_incremental_dedup": _q_streaming_dedup,
         "repetition_metrics": _q_repetition_metrics,
         "packed_sequences": _q_packed_sequences,
         "stratified_sample_lang": _q_stratified_sample,
@@ -857,6 +902,14 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "embedding_dup_clusters": similarity.embedding_dup_clusters_sql(EMB_DUP_T),
         "event_props_rollup": windows.props_rollup_sql(),
         "near_dup_clusters": dedup.near_dup_clusters_sql(threshold=MINHASH_T),
+        "streaming_incremental_dedup": f"""WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {RECRAWL_OFF}, text FROM documents
+  WHERE doc_id < {RECRAWL_K}),
+f AS (SELECT doc_id, md5({text_fn.normalize_sql('text')}) AS fp
+  FROM all_docs)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM f GROUP BY fp""",
         "repetition_metrics": repetition.repetition_metrics_sql(),
         "packed_sequences": curation.pack_sequences_sql(
             "documents", text_fn.text_metrics_sql("text")["n_tokens"],
@@ -940,6 +993,9 @@ WHERE lon_e6 IS NOT NULL""",
                 layers.poly_zone_vertices_values_sql(),
                 layers.poly_feature_vertices_values_sql()),
             layers.poly_zone_vertices_values_sql()),
+        "nc_poly_pair_intersections": polygon_overlay.simple_poly_pair_areas_sql(
+            layers.nc_zone_parts_values_sql(),
+            layers.poly_feature_vertices_values_sql()),
         "smbr_direction_distribution": _smbr_oracle_sql(),
         "facade_area_distribution": facade.facade_area_distribution_sql(
             _facade_pages_sql(), raster.zone_bounds_values_sql(),

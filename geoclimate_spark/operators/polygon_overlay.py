@@ -42,6 +42,9 @@ pair key, so it shuffles candidate PAIRS only, never full geometry tables.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -256,6 +259,100 @@ SELECT r.zone_id, r.feat_id, f.layer,
        CAST(n_vertices AS BIGINT) AS n_vertices, ABS(a2) / 2.0 AS inter_area
 FROM res r JOIN (SELECT DISTINCT feat_id, layer FROM fvtx) f USING (feat_id)
 WHERE n_vertices >= 3 AND ABS(a2) > 0"""
+
+
+# ---------------------------------------------------- non-convex zone path
+# clip areas are rounded to this grid with an explicit half-up floor (no
+# engine-specific ROUND semantics); the two float paths (Sutherland–Hodgman
+# vs decomposition sum) agree to ~1e-3 units², 5 orders below the grid
+AREA_GRID = 1000.0
+
+
+def simple_poly_pair_areas(zvtx: DataFrame, fvtx: DataFrame) -> DataFrame:
+    """Intersection areas of arbitrary SIMPLE (possibly concave) zone
+    polygons with convex layer features.
+
+    Engine path: bbox candidate pairs → both rings shipped to a grouped
+    Arrow batch → vectorized Sutherland–Hodgman clip
+    (:func:`geoclimate_spark.geometry.clip_convex` — convex clip polygon,
+    arbitrary simple subject; disconnected intersections appear as zero-area
+    bridges so the area is still exact). The DuckDB oracle cannot run SH, so
+    the FIXTURE carries a known convex decomposition of each zone
+    (sources/layers.py::_synth_nc_zone_data) and the oracle sums the
+    relational convex-pair areas over the parts — mathematically the same
+    region. Areas are snapped to the ``AREA_GRID`` with FLOOR(x/g + 0.5) on
+    both sides.
+
+    Returns (zone_id, feat_id, layer, inter_area); pairs whose snapped area
+    is zero are dropped on both sides identically.
+    """
+    import pandas as pd
+
+    from .. import geometry
+
+    zb = zvtx.groupBy("zone_id").agg(
+        F.min("x").alias("zx0"), F.min("y").alias("zy0"),
+        F.max("x").alias("zx1"), F.max("y").alias("zy1"))
+    fb = fvtx.groupBy("feat_id").agg(
+        F.min("x").alias("fx0"), F.min("y").alias("fy0"),
+        F.max("x").alias("fx1"), F.max("y").alias("fy1"))
+    cand = (zb.join(F.broadcast(fb),
+                    (F.col("fx0") < F.col("zx1")) & (F.col("fx1") > F.col("zx0"))
+                    & (F.col("fy0") < F.col("zy1")) & (F.col("fy1") > F.col("zy0")))
+            .select("zone_id", "feat_id"))
+    zt = (cand.join(zvtx, "zone_id")
+          .select("zone_id", "feat_id", F.lit(0).alias("side"), "seq", "x", "y"))
+    ft = (cand.join(F.broadcast(fvtx.select("feat_id", "seq", "x", "y")), "feat_id")
+          .select("zone_id", "feat_id", F.lit(1).alias("side"), "seq", "x", "y"))
+    u = zt.unionByName(ft)
+    schema = "zone_id long, feat_id long, inter_area double"
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        z = (g[g["side"] == 0].sort_values("seq")[["x", "y"]]
+             .to_numpy(np.float64))
+        f = (g[g["side"] == 1].sort_values("seq")[["x", "y"]]
+             .to_numpy(np.float64))
+        clipped = geometry.clip_convex(z, f)
+        area = geometry.poly_area(clipped) if len(clipped) >= 3 else 0.0
+        snapped = math.floor(area / AREA_GRID + 0.5) * AREA_GRID
+        if snapped <= 0:
+            return pd.DataFrame(
+                {"zone_id": [], "feat_id": [], "inter_area": []})
+        return pd.DataFrame([{
+            "zone_id": int(g["zone_id"].iloc[0]),
+            "feat_id": int(g["feat_id"].iloc[0]),
+            "inter_area": snapped}])
+
+    out = u.groupBy("zone_id", "feat_id").applyInPandas(run, schema)
+    layer_dim = fvtx.select("feat_id", "layer").distinct()
+    return (out.join(F.broadcast(layer_dim), "feat_id")
+            .select("zone_id", "feat_id", "layer", "inter_area"))
+
+
+def simple_poly_pair_areas_sql(parts_sql: str, fvtx_sql: str,
+                               part_stride: int = 16) -> str:
+    """DuckDB oracle for :func:`simple_poly_pair_areas` via the fixture's
+    convex decomposition: each (zone, part) becomes a synthetic convex
+    "zone" keyed ``zone_id·stride + part_id`` through
+    :func:`convex_pair_areas_sql`, part areas are summed per real zone in
+    pkey order (ordered cumulative window — never a bare double SUM), and
+    the total is snapped to the same grid."""
+    inner = convex_pair_areas_sql(
+        f"SELECT zone_id * {part_stride} + part_id AS zone_id, seq, x, y"
+        f" FROM ({parts_sql})", fvtx_sql)
+    g = AREA_GRID
+    return f"""WITH pairs AS ({inner}),
+cum AS (SELECT zone_id // {part_stride} AS rid, zone_id AS pkey, feat_id,
+       layer,
+       SUM(inter_area) OVER (PARTITION BY zone_id // {part_stride}, feat_id
+           ORDER BY zone_id ROWS UNBOUNDED PRECEDING) AS cs
+  FROM pairs),
+agg AS (SELECT CAST(rid AS BIGINT) AS zone_id, feat_id, MAX(layer) AS layer,
+       MAX_BY(cs, pkey) AS s
+  FROM cum GROUP BY rid, feat_id)
+SELECT zone_id, feat_id, layer,
+       FLOOR(s / {g} + 0.5) * {g} AS inter_area
+FROM agg WHERE FLOOR(s / {g} + 0.5) > 0"""
 
 
 def layer_cover(pairs: DataFrame, zvtx: DataFrame) -> DataFrame:

@@ -280,6 +280,96 @@ def poly_feature_vertices_values_sql() -> str:
             " FROM (VALUES\n  " + vals + "\n) AS t(feat_id, layer, seq, x, y)")
 
 
+# --------------------------------------------- concave (non-convex) zones
+def _synth_nc_zone_data(n: int = 30) -> tuple[list, list]:
+    """Concave simple-polygon zones WITH a known convex decomposition.
+
+    Each zone = a convex base hull plus a convex "wing" glued onto the
+    base's closing edge (wing points strictly outward of that edge, so the
+    hull of {edge endpoints, wing points} keeps the shared edge as a hull
+    edge and the union ring base-vertices + wing-outer-chain is simple).
+    The decomposition {base, wing} is what makes the DuckDB oracle
+    expressible: Σ convex-part ∩ feature = simple-zone ∩ feature.
+
+    Coordinate budget: base centers ±300k, base radius ≤ 90k, wing extends
+    ≤ one edge length further → |coords| ≤ ~660k, keeping the int64 bounds
+    of operators/polygon_overlay.py intact.
+
+    Returns (ring_rows, part_rows):
+      ring_rows: (zone_id, seq, x, y) — the simple CCW ring (engine input);
+      part_rows: (zone_id, part_id, seq, x, y) — convex CCW parts (oracle).
+    """
+    from .. import geometry
+    s = 777_001
+    ring_rows, part_rows = [], []
+    zid = 0
+    while zid < n:
+        s = _lcg(s); cx = s % 600_001 - 300_000
+        s = _lcg(s); cy = s % 600_001 - 300_000
+        s = _lcg(s); r = 30_000 + s % 60_000
+        pts = []
+        for _ in range(8):
+            s = _lcg(s); dx = s % (2 * r + 1) - r
+            s = _lcg(s); dy = s % (2 * r + 1) - r
+            pts.append((cx + dx, cy + dy))
+        base = np.rint(geometry.convex_hull(
+            np.asarray(pts, np.float64))).astype(np.int64)
+        base = geometry.convex_hull(base.astype(np.float64)).astype(np.int64)
+        if len(base) < 4:
+            continue
+        e0, e1 = base[-1], base[0]          # closing edge e0 → e1
+        d = e1 - e0
+        perp = np.array([d[1], -d[0]], np.int64)  # outward (right of d)
+        wing_pts = [tuple(e0), tuple(e1)]
+        for _ in range(3):
+            s = _lcg(s); a = 2 + s % 5      # along-edge 2/8 .. 6/8
+            s = _lcg(s); b = 2 + s % 7      # outward     2/8 .. 8/8
+            p = e0 + (a * d) // 8 + (b * perp) // 8
+            wing_pts.append((int(p[0]), int(p[1])))
+        wing = geometry.convex_hull(
+            np.asarray(sorted(set(wing_pts)), np.float64)).astype(np.int64)
+        if len(wing) < 3:
+            continue
+        # locate the shared edge e1 → e0 in the wing's CCW ring
+        i1 = next((i for i, w in enumerate(wing)
+                   if w[0] == e1[0] and w[1] == e1[1]), None)
+        if i1 is None or not np.array_equal(wing[(i1 + 1) % len(wing)], e0):
+            continue  # defensive: wing must keep the glue edge
+        outer = [wing[(i1 + 1 + k) % len(wing)]
+                 for k in range(1, len(wing) - 1)]  # after e0, before e1
+        ring = list(base) + [np.asarray(w, np.int64) for w in outer]
+        ring_rows += [(zid, k, int(p[0]), int(p[1]))
+                      for k, p in enumerate(ring)]
+        part_rows += [(zid, 0, k, int(p[0]), int(p[1]))
+                      for k, p in enumerate(base)]
+        part_rows += [(zid, 1, k, int(p[0]), int(p[1]))
+                      for k, p in enumerate(wing)]
+        zid += 1
+    return ring_rows, part_rows
+
+
+def nc_zone_ring_df(spark):
+    return spark.createDataFrame(
+        _synth_nc_zone_data()[0], "zone_id long, seq long, x long, y long")
+
+
+def nc_zone_parts_df(spark):
+    return spark.createDataFrame(
+        _synth_nc_zone_data()[1],
+        "zone_id long, part_id long, seq long, x long, y long")
+
+
+def nc_zone_parts_values_sql() -> str:
+    vals = ",\n  ".join(f"({z}, {p}, {s}, {x}, {y})"
+                        for z, p, s, x, y in _synth_nc_zone_data()[1])
+    return ("SELECT CAST(zone_id AS BIGINT) AS zone_id,"
+            " CAST(part_id AS BIGINT) AS part_id,"
+            " CAST(seq AS BIGINT) AS seq,"
+            " CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y"
+            " FROM (VALUES\n  " + vals
+            + "\n) AS t(zone_id, part_id, seq, x, y)")
+
+
 def voronoi_zones(n: int = 40, seed: int = 42,
                   bbox=(-20.0, 30.0, 30.0, 60.0)) -> list[Zone]:
     """Seeded convex zones ("Europe patch"): convex hulls of jittered point

@@ -80,3 +80,53 @@ def test_containment_pairs_equal_feature_area(pairs):
                 assert pairs[(zid, fid)].inter_area == pytest.approx(
                     geometry.poly_area(fp), rel=1e-12)
     assert n_contained >= 3  # fixture actually exercises containment
+
+
+NC_RING_SCHEMA = "zone_id long, seq long, x long, y long"
+NC_FEAT_SCHEMA = "feat_id long, layer string, seq long, x long, y long"
+
+
+def test_simple_poly_pairs_match_numpy_decomposition(spark):
+    """Engine SH areas over the concave fixture == numpy part-clip sums."""
+    pairs = polygon_overlay.simple_poly_pair_areas(
+        layers.nc_zone_ring_df(spark), layers.poly_feature_vertices_df(spark))
+    got = {(r.zone_id, r.feat_id): r.inter_area for r in pairs.collect()}
+    _, part_rows = layers._synth_nc_zone_data()
+    P = {}
+    for z, p, s, x, y in part_rows:
+        P.setdefault(z, {}).setdefault(p, []).append((x, y))
+    import math
+    n_checked = 0
+    for (zid, fid), area in got.items():
+        fp = FP[fid]
+        total = sum(
+            geometry.poly_area(c) if len(
+                c := geometry.clip_convex(np.asarray(pts, np.float64), fp)) >= 3
+            else 0.0
+            for pts in P[zid].values())
+        assert area == math.floor(total / 1000.0 + 0.5) * 1000.0, (zid, fid)
+        n_checked += 1
+    assert n_checked > 30
+
+
+def test_simple_poly_disconnected_intersection_area(spark):
+    """U-shaped zone × bar feature: the intersection is TWO disjoint
+    pieces; the SH bridge artifact must not perturb the area."""
+    u = [(0, 0), (30, 0), (30, 30), (20, 30), (20, 10), (10, 10),
+         (10, 30), (0, 30)]
+    u = [(x * 1000, y * 1000) for x, y in u]
+    arr = np.asarray(u, np.float64)
+    sgn = (np.dot(arr[:, 0], np.roll(arr[:, 1], -1))
+           - np.dot(arr[:, 1], np.roll(arr[:, 0], -1)))
+    if sgn < 0:
+        u = u[::-1]
+    zv = spark.createDataFrame(
+        [(0, i, x, y) for i, (x, y) in enumerate(u)], NC_RING_SCHEMA)
+    bar = [(-5, 20), (35, 20), (35, 25), (-5, 25)]
+    fv = spark.createDataFrame(
+        [(0, "bar", i, x * 1000, y * 1000) for i, (x, y) in enumerate(bar)],
+        NC_FEAT_SCHEMA)
+    out = polygon_overlay.simple_poly_pair_areas(zv, fv).collect()
+    assert len(out) == 1
+    # two arms of width 10, bar height 5 (scaled by 1000 each axis)
+    assert out[0].inter_area == 2 * (10 * 5) * 1_000_000
