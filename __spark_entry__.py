@@ -24,8 +24,8 @@ from geoclimate_spark.functions import text as text_fn
 from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
-from geoclimate_spark.operators import (classify, components, contamination,
-                                        curation, facade, knn,
+from geoclimate_spark.operators import (asof, classify, components,
+                                        contamination, curation, facade, knn,
                                         overlay, polygon_overlay, repetition,
                                         smbr, raster, roads, similarity,
                                         windows, zonal)
@@ -662,6 +662,42 @@ def _q_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.props_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+ASOF_FEED_MOD = 17
+ASOF_TOL_US = 3_600_000_000  # 1 hour staleness tolerance
+INTERVAL_DUR_US = 1_800_000_000  # 30-minute validity intervals
+
+
+def _q_event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events × 30-min per-user validity intervals (opened by
+    every 17th event) via bucket-explode + equi-join + exact refine; the
+    oracle is DuckDB's plain inequality join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = (ev.where(F.col("event_id") % ASOF_FEED_MOD == 0)
+          .select(F.col("event_id").alias("interval_id"), "user_id",
+                  us.alias("start_us"),
+                  (us + F.lit(INTERVAL_DUR_US)).alias("end_us")))
+    left = ev.select("event_id", "user_id", "ts")
+    return (asof.interval_join(left, iv, key="user_id",
+                               bucket_us=INTERVAL_DUR_US)
+            .select("event_id", "user_id", "interval_id", "offset_us"))
+
+
+def _q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event picks up the latest prior feed value for its
+    user (feed = every 17th event), NULL when none or staler than 1 h.
+    Engine: union-and-window carry-forward; oracle: DuckDB native ASOF
+    LEFT JOIN — two independent algorithms, hash-identical."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feed = (ev.where(F.col("event_id") % ASOF_FEED_MOD == 0)
+            .select("user_id", "ts", "value"))
+    left = ev.select("event_id", "user_id", "ts", "event_type")
+    out = asof.as_of_join(left, feed, key="user_id",
+                          right_vals=("value",), tolerance_us=ASOF_TOL_US)
+    return out.select("event_id", "user_id", "event_type",
+                      "asof_value", "asof_lag_us")
+
+
 def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(_docs(spark, sf_dir), threshold=MINHASH_T)
 
@@ -766,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "rect_zone_assignment": _q_rect_zone_assignment,
         "event_props_rollup": _q_event_props_rollup,
+        "event_asof_value": _q_event_asof,
+        "event_interval_join": _q_event_interval_join,
         "near_dup_clusters": _q_near_dup_clusters,
         "streaming_incremental_dedup": _q_streaming_dedup,
         "repetition_metrics": _q_repetition_metrics,
@@ -901,6 +939,19 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "curated_near_dedup": _curated_near_dedup_oracle_sql(),
         "embedding_dup_clusters": similarity.embedding_dup_clusters_sql(EMB_DUP_T),
         "event_props_rollup": windows.props_rollup_sql(),
+        "event_asof_value": asof.as_of_join_sql(
+            "SELECT event_id, user_id, ts, event_type FROM events",
+            f"SELECT user_id, ts, value FROM events"
+            f" WHERE event_id % {ASOF_FEED_MOD} = 0",
+            key="user_id", left_cols=("event_id", "user_id", "event_type"),
+            right_vals=("value",), tolerance_us=ASOF_TOL_US),
+        "event_interval_join": asof.interval_join_sql(
+            "SELECT event_id, user_id, ts FROM events",
+            f"""SELECT event_id AS interval_id, user_id,
+       epoch_us(ts) AS start_us,
+       epoch_us(ts) + {INTERVAL_DUR_US} AS end_us
+FROM events WHERE event_id % {ASOF_FEED_MOD} = 0""",
+            key="user_id", left_cols=("event_id", "user_id")),
         "near_dup_clusters": dedup.near_dup_clusters_sql(threshold=MINHASH_T),
         "streaming_incremental_dedup": f"""WITH all_docs AS (
   SELECT doc_id, text FROM documents

@@ -61,6 +61,40 @@ def _edges(vtx: DataFrame, key: str) -> DataFrame:
         F.coalesce(F.lead("y").over(w), F.first("y").over(wf)).alias("eyn"))
 
 
+# coarse candidate-generation cell (2^18 local units): bboxes explode into
+# the cells they span so the pair search is a hash EQUI-join on (cx, cy) —
+# never an inequality-only BroadcastNestedLoopJoin. A non-overlapping pair
+# that shares a cell is a harmless superset row: it yields < 3 candidate
+# points downstream and is filtered with the degenerate pairs.
+_CAND_CELL = 262_144
+
+
+def _bbox_cells(bb: DataFrame, key: str, x0: str, y0: str,
+                x1: str, y1: str) -> DataFrame:
+    c = F.lit(float(_CAND_CELL))
+    return (bb.withColumn("_cx", F.explode(F.sequence(
+        F.floor(F.col(x0) / c), F.floor(F.col(x1) / c))))
+        .withColumn("_cy", F.explode(F.sequence(
+            F.floor(F.col(y0) / c), F.floor(F.col(y1) / c)))))
+
+
+def _candidate_pairs(zvtx: DataFrame, fvtx: DataFrame) -> DataFrame:
+    """(zone_id, feat_id) pairs with overlapping bboxes, via the cell-keyed
+    equi-join (the covering-index shape of spatial_join.py)."""
+    zb = zvtx.groupBy("zone_id").agg(
+        F.min("x").alias("zx0"), F.min("y").alias("zy0"),
+        F.max("x").alias("zx1"), F.max("y").alias("zy1"))
+    fb = fvtx.groupBy("feat_id").agg(
+        F.min("x").alias("fx0"), F.min("y").alias("fy0"),
+        F.max("x").alias("fx1"), F.max("y").alias("fy1"))
+    zc = _bbox_cells(zb, "zone_id", "zx0", "zy0", "zx1", "zy1")
+    fc = _bbox_cells(fb, "feat_id", "fx0", "fy0", "fx1", "fy1")
+    return (zc.join(F.broadcast(fc), ["_cx", "_cy"])
+            .where((F.col("fx0") < F.col("zx1")) & (F.col("fx1") > F.col("zx0"))
+                   & (F.col("fy0") < F.col("zy1")) & (F.col("fy1") > F.col("zy0")))
+            .select("zone_id", "feat_id").distinct())
+
+
 def _vertices_inside(cand: DataFrame, vtx: DataFrame, edges: DataFrame,
                      vtx_key: str, edge_key: str) -> DataFrame:
     """Vertices of one polygon inside the other: join vertex × edges of the
@@ -93,16 +127,7 @@ def convex_pair_areas(zvtx: DataFrame, fvtx: DataFrame) -> DataFrame:
     ze = _edges(zvtx.select("zone_id", "seq", "x", "y"), "zone_id")
     fe = _edges(fvtx.select("feat_id", "seq", "x", "y"), "feat_id")
 
-    zb = zvtx.groupBy("zone_id").agg(
-        F.min("x").alias("zx0"), F.min("y").alias("zy0"),
-        F.max("x").alias("zx1"), F.max("y").alias("zy1"))
-    fb = fvtx.groupBy("feat_id").agg(
-        F.min("x").alias("fx0"), F.min("y").alias("fy0"),
-        F.max("x").alias("fx1"), F.max("y").alias("fy1"))
-    cand = (zb.join(F.broadcast(fb),
-                    (F.col("fx0") < F.col("zx1")) & (F.col("fx1") > F.col("zx0"))
-                    & (F.col("fy0") < F.col("zy1")) & (F.col("fy1") > F.col("zy0")))
-            .select("zone_id", "feat_id"))
+    cand = _candidate_pairs(zvtx, fvtx)
 
     # (A) zone vertices in feature, (B) feature vertices in zone
     a_in = _vertices_inside(cand, zv, fe, "zone_id", "feat_id")
@@ -290,16 +315,7 @@ def simple_poly_pair_areas(zvtx: DataFrame, fvtx: DataFrame) -> DataFrame:
 
     from .. import geometry
 
-    zb = zvtx.groupBy("zone_id").agg(
-        F.min("x").alias("zx0"), F.min("y").alias("zy0"),
-        F.max("x").alias("zx1"), F.max("y").alias("zy1"))
-    fb = fvtx.groupBy("feat_id").agg(
-        F.min("x").alias("fx0"), F.min("y").alias("fy0"),
-        F.max("x").alias("fx1"), F.max("y").alias("fy1"))
-    cand = (zb.join(F.broadcast(fb),
-                    (F.col("fx0") < F.col("zx1")) & (F.col("fx1") > F.col("zx0"))
-                    & (F.col("fy0") < F.col("zy1")) & (F.col("fy1") > F.col("zy0")))
-            .select("zone_id", "feat_id"))
+    cand = _candidate_pairs(zvtx, fvtx)
     zt = (cand.join(zvtx, "zone_id")
           .select("zone_id", "feat_id", F.lit(0).alias("side"), "seq", "x", "y"))
     ft = (cand.join(F.broadcast(fvtx.select("feat_id", "seq", "x", "y")), "feat_id")

@@ -73,3 +73,20 @@ def test_new_operator_plans_no_cartesian_no_python(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "SortAggregate" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_temporal_and_polygon_join_plans(spark):
+    """As-of (pure window, no join), interval join (bucket equi-join), and
+    the relational polygon overlay must never fall back to cartesian/BNLJ
+    or row-wise Python; size_properties hull must stay a JVM equi-join."""
+    import __spark_entry__ as E
+    for name in ("event_asof_value", "event_interval_join",
+                 "poly_pair_intersections", "way_size_properties"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # the as-of join is join-free: one window pass over the tagged union
+    asof_plan = _plan(E.queries()["event_asof_value"](spark, SF))
+    assert "Join" not in asof_plan
+    assert asof_plan.count("Window") >= 1
