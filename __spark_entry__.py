@@ -586,6 +586,36 @@ def _q_curated_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "component_size"))
 
 
+# document-quality triage forest: literal splits over the text metrics
+# (train offline, inline the model — same treatment as RF_TREES/IVF)
+DOC_TREES = [
+    {"feature": "quality", "thr": 0.30,
+     "lo": {"feature": "n_tokens", "thr": 40.0,
+            "lo": {"cls": "discard"}, "hi": {"cls": "borderline"}},
+     "hi": {"feature": "n_tokens", "thr": 20.0,
+            "lo": {"cls": "borderline"}, "hi": {"cls": "keep"}}},
+    {"feature": "n_tokens", "thr": 10.0,
+     "lo": {"cls": "discard"},
+     "hi": {"feature": "quality", "thr": 0.25,
+            "lo": {"cls": "borderline"}, "hi": {"cls": "keep"}}},
+    {"feature": "quality", "thr": 0.4,
+     "lo": {"feature": "quality", "thr": 0.2,
+            "lo": {"cls": "discard"}, "hi": {"cls": "borderline"}},
+     "hi": {"cls": "keep"}},
+]
+
+
+def _q_doc_quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document training-data triage (keep/borderline/discard): the
+    deterministic tree-ensemble classifier applied to doc text metrics."""
+    docs = _docs(spark, sf_dir)
+    cols = text_fn.text_metrics_cols(F.col("text"))
+    feats = docs.select(F.col("doc_id").alias("id"),
+                        cols["quality"].alias("quality"),
+                        cols["n_tokens"].cast("double").alias("n_tokens"))
+    return classify.classify_tree_ensemble(feats, ["id"], DOC_TREES)
+
+
 PACK_BUDGET, PACK_SHARDS = 512, 8
 SAMPLE_QUOTA = 30
 DOMAIN_BLOCKED = ["src3", "src7", "src19"]
@@ -810,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "stratified_sample_lang": _q_stratified_sample,
         "domain_curation": _q_domain_curation,
+        "doc_quality_labels": _q_doc_quality_labels,
         "contamination_hits": _q_contamination,
     }
 
@@ -972,6 +1003,12 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM f GROUP BY fp""",
         "domain_curation": curation.domain_curation_sql(
             "documents", text_fn.text_metrics_sql("text")["quality"],
             CURATE_MIN_QUALITY, DOMAIN_BLOCKED, DOMAIN_CAP),
+        "doc_quality_labels": classify.classify_tree_ensemble_sql(
+            f"""SELECT doc_id AS id,
+       {text_fn.text_metrics_sql('text')['quality']} AS quality,
+       CAST({text_fn.text_metrics_sql('text')['n_tokens']} AS DOUBLE) AS n_tokens
+FROM documents""",
+            ["id"], DOC_TREES),
         "rect_zone_assignment": f"""WITH rl AS ({layers.rect_layers_values_sql()})
 SELECT rect_id,
        CAST({layers.zone_case_sql(
