@@ -58,13 +58,22 @@ def main() -> None:
     from geoclimate_spark.plans.flagship import zone_tile_language_mix
     from geoclimate_spark.sources.pages import synth_pages
 
+    # the headline runs AFTER 60+ queries: clear caches, one untimed warmup
+    # (JIT/codegen for this plan), then the MEDIAN of 3 timed trials — robust
+    # to the shared host's vCPU-steal spikes without best-of cherry-picking;
+    # all trials are recorded in the artifact
+    spark.catalog.clearCache()
     pages = synth_pages(spark, SYNTH_N, partitions=CPUS * 4)
-    t0 = time.perf_counter()
-    out = zone_tile_language_mix(pages)
-    n_groups = out.count()
-    pipeline_sec = time.perf_counter() - t0
+    n_groups = zone_tile_language_mix(pages).count()  # warmup, untimed
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        zone_tile_language_mix(pages).count()
+        trials.append(round(time.perf_counter() - t0, 3))
+    pipeline_sec = sorted(trials)[1]
     timings["synth_pipeline"] = round(pipeline_sec, 3)
-    print(f"# synth_pipeline: {pipeline_sec:.2f}s, {n_groups} groups", file=sys.stderr)
+    print(f"# synth_pipeline: median {pipeline_sec:.2f}s of {trials}, "
+          f"{n_groups} groups", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
@@ -75,6 +84,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "synth_pages": SYNTH_N,
         "throughput_pages_per_sec": round(SYNTH_N / pipeline_sec, 1),
+        "pipeline_trials": trials,
         "cpus": CPUS,
     }
     scaling_path = Path(__file__).parent / "BENCH" / "scaling_latest.json"
