@@ -154,16 +154,28 @@ def main() -> None:
             "measured_at", "n_pages", "cores_small", "cores_big",
             "throughput_small", "throughput_big", "scaling_efficiency",
             "median_pair_efficiency", "best_pair_efficiency", "pass")}) + "\n")
+    # insert INTO the numbered audit table (appending at EOF detaches the
+    # row from the table once narrative follows it — bitten twice)
+    import re as _re
     md = Path(__file__).parent / "BASELINE.md"
+    cells = (f"{result['measured_at']} | {n} | {small}→{big} "
+             f"| {result['throughput_small']} | {result['throughput_big']} "
+             f"| {result['scaling_efficiency']} | {median_eff} | {result['pass']}")
     if not md.exists():
         md.write_text(
             "# BENCH baseline — measured scaling runs\n\n"
-            "| when (UTC) | pages | cores N→4N | pages/s @N | pages/s @4N | efficiency | median eff | pass |\n"
-            "|---|---|---|---|---|---|---|---|\n")
-    with md.open("a") as f:
-        f.write(f"| {result['measured_at']} | {n} | {small}→{big} "
-                f"| {result['throughput_small']} | {result['throughput_big']} "
-                f"| {result['scaling_efficiency']} | {median_eff} | {result['pass']} |\n")
+            "| # | when (UTC) | pages | cores N→4N | pages/s @N | pages/s @4N | efficiency | median | pass |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
+            f"| 1 | {cells} |\n")
+    else:
+        lines = md.read_text().splitlines()
+        idxs = [i for i, l in enumerate(lines) if _re.match(r"^\| \d+ \|", l)]
+        if idxs:
+            num = int(lines[idxs[-1]].split("|")[1]) + 1
+            lines.insert(idxs[-1] + 1, f"| {num} | {cells} |")
+        else:
+            lines.append(f"| {cells} |")
+        md.write_text("\n".join(lines) + "\n")
     print(json.dumps(result))
 
 

@@ -224,6 +224,13 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
 
+def _q_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Hamming-1 probes) — the recall fix over
+    single-probe ann_topk_lsh, query-side fan-out only."""
+    return similarity.lsh_topk_multiprobe(_emb(spark, sf_dir),
+                                          ANN_QUERY_IDS, ANN_K)
+
+
 def _q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(_emb(spark, sf_dir), EMB_DUP_T)
 
@@ -797,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "ann_topk_lsh_multiprobe": _q_ann_lsh_mp,
         "embedding_near_dup": _q_emb_pairs,
         "embedding_near_dup_lsh": _q_emb_pairs_lsh,
         "event_window_agg": _q_event_windows,
@@ -954,6 +962,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "ann_topk_bruteforce": similarity.cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_ivf": similarity.ivf_topk_sql(ANN_QUERY_IDS, ANN_K),
+        "ann_topk_lsh_multiprobe": similarity.lsh_topk_multiprobe_sql(
+            ANN_QUERY_IDS, ANN_K),
         "embedding_near_dup": similarity.cosine_pairs_sql(EMB_DUP_T),
         "embedding_near_dup_lsh": similarity.cosine_pairs_lsh_sql(EMB_DUP_T),
         "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),

@@ -148,3 +148,28 @@ def test_lsh_finds_planted_duplicates(spark):
     top1 = got[got["rank"] == 1].set_index("query_id")["vec_id"]
     for q in qids:
         assert top1[q] == q + 100000
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 multi-probe must retrieve a superset-or-equal candidate
+    pool: recall vs exact brute-force top-k is >= single-probe recall."""
+    import __spark_entry__ as E
+    from geoclimate_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = E.ANN_QUERY_IDS
+    k = E.ANN_K
+    truth = {(r.query_id, r.vec_id)
+             for r in similarity.cosine_topk(emb, qids, k).collect()}
+    single = {(r.query_id, r.vec_id)
+              for r in similarity.lsh_topk(emb, qids, k).collect()}
+    multi = {(r.query_id, r.vec_id)
+             for r in similarity.lsh_topk_multiprobe(emb, qids, k).collect()}
+    r1 = len(single & truth) / len(truth)
+    rm = len(multi & truth) / len(truth)
+    assert rm >= r1
+    # deterministic fixture: radius-1 probing doubles single-probe recall
+    assert rm >= 2 * r1 > 0
+    r2 = {(r.query_id, r.vec_id)
+          for r in similarity.lsh_topk_multiprobe(
+              emb, qids, k, probe_radius=2).collect()}
+    assert len(r2 & truth) / len(truth) > rm  # radius 2 keeps improving
