@@ -781,11 +781,60 @@ def _q_page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER = driver check priority (the driver verifies the first 50
+    entries per round). Never-driver-verified and recently-changed queries
+    come first; twice-green stable queries rotate to the tail. Every entry
+    has pytest coverage regardless of window position."""
     return {
+        # -- block 1: no round-2 CORRECTNESS row (r1-pass or never checked) --
+        "event_props_rollup": _q_event_props_rollup,  # last signal: r1 FAIL
+        "event_asof_value": _q_event_asof,            # + NULL-carry fix (r3)
+        "event_interval_join": _q_event_interval_join,  # + empty-iv fix (r3)
+        "streaming_incremental_dedup": _q_streaming_dedup,  # + retry fix (r3)
+        "curated_near_dedup": _q_curated_near_dedup,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "repetition_metrics": _q_repetition_metrics,
+        "packed_sequences": _q_packed_sequences,
+        "stratified_sample_lang": _q_stratified_sample,
+        "domain_curation": _q_domain_curation,
+        "doc_quality_labels": _q_doc_quality_labels,
+        "contamination_hits": _q_contamination,       # + short-doc fix (r3)
+        "near_dup_clusters": _q_near_dup_clusters,
+        "road_zone_stats": _q_road_zone_stats,
+        "zone_rect_pair_areas": _q_pair_areas,
+        "knn_topk_pages": _q_knn_topk,
+        "curated_documents": _q_curated_documents,
+        "rect_zone_assignment": _q_rect_zone_assignment,
+        # -- block 2: new in round 3 / semantics changed in round 3 --
+        "smbr_direction_distribution": _q_smbr_direction,  # gcd tie-break (r3)
+        "tile_lod_rollup": _q_tile_lod,
+        # -- block 3: stable but load-bearing (keep inside the window) --
         "flagship_zone_tile_language_mix": _q_flagship,
         "pip_zone_assignment": _q_zone_assignment,
         "tile_assignment": _q_tile_assignment,
         "extract_roundtrip": _q_extract_roundtrip,
+        "facade_area_distribution": _q_facade_distribution,
+        "frontal_area_index": _q_frontal_area_index,
+        "roof_area_distribution_exact": _q_roof_distribution,
+        "theta_contact_pairs": _q_theta_pairs,
+        "zone_surface_fractions": _q_surface_fractions,
+        "zone_overlay_combos": _q_overlay_combos,
+        "zone_ground_layer": _q_ground_layer,
+        "zone_layer_difference": _q_layer_difference,
+        "component_dissolve": _q_component_dissolve,
+        "way_assembly": _q_way_assembly,
+        "way_size_properties": _q_way_size_props,
+        "poly_pair_intersections": _q_poly_pair_areas,
+        "nc_poly_pair_intersections": _q_nc_poly_pair_areas,
+        "page_components": _q_page_components,
+        "zone_indicator_table": _q_zone_indicator_table,
+        "direction_distribution": _q_direction_distribution,
+        "zone_classification": _q_zone_classification,
+        "zone_geometry_props": _q_zone_geometry_props,
+        # -- block 4: twice-green, rotated out of the 50-query window --
+        "poly_zone_layer_cover": _q_poly_layer_cover,
+        "zone_classification_rf": _q_zone_classification_rf,
+        "zone_tile_assignment_modeb": _q_tile_modeb,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -797,7 +846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_type_proportion": _q_zone_type_proportion,
         "mode_lang_per_tile": _q_mode_lang_per_tile,
         "zonal_median_chars": _q_zonal_median,
-        "direction_distribution": _q_direction_distribution,
         "knn_nearest_page": _q_knn,
         "raster_zonal_stats": _q_raster_zonal,
         "page_raster_value": _q_page_raster,
@@ -809,47 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_emb_pairs_lsh,
         "event_window_agg": _q_event_windows,
         "event_sessions": _q_event_sessions,
-        "page_components": _q_page_components,
         "media_metadata": _q_media_metadata,
-        "zone_tile_assignment_modeb": _q_tile_modeb,
-        "zone_classification": _q_zone_classification,
-        "zone_classification_rf": _q_zone_classification_rf,
-        "zone_indicator_table": _q_zone_indicator_table,
-        "tile_lod_rollup": _q_tile_lod,
-        "zone_surface_fractions": _q_surface_fractions,
-        "zone_overlay_combos": _q_overlay_combos,
-        "zone_ground_layer": _q_ground_layer,
-        "zone_layer_difference": _q_layer_difference,
-        "component_dissolve": _q_component_dissolve,
-        "way_assembly": _q_way_assembly,
-        "poly_pair_intersections": _q_poly_pair_areas,
-        "poly_zone_layer_cover": _q_poly_layer_cover,
-        "nc_poly_pair_intersections": _q_nc_poly_pair_areas,
-        "way_size_properties": _q_way_size_props,
-        "smbr_direction_distribution": _q_smbr_direction,
-        "facade_area_distribution": _q_facade_distribution,
-        "frontal_area_index": _q_frontal_area_index,
-        "roof_area_distribution_exact": _q_roof_distribution,
-        "theta_contact_pairs": _q_theta_pairs,
-        "zone_geometry_props": _q_zone_geometry_props,
-        "road_zone_stats": _q_road_zone_stats,
-        "zone_rect_pair_areas": _q_pair_areas,
-        "knn_topk_pages": _q_knn_topk,
-        "curated_documents": _q_curated_documents,
-        "curated_near_dedup": _q_curated_near_dedup,
-        "embedding_dup_clusters": _q_embedding_dup_clusters,
-        "rect_zone_assignment": _q_rect_zone_assignment,
-        "event_props_rollup": _q_event_props_rollup,
-        "event_asof_value": _q_event_asof,
-        "event_interval_join": _q_event_interval_join,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "streaming_incremental_dedup": _q_streaming_dedup,
-        "repetition_metrics": _q_repetition_metrics,
-        "packed_sequences": _q_packed_sequences,
-        "stratified_sample_lang": _q_stratified_sample,
-        "domain_curation": _q_domain_curation,
-        "doc_quality_labels": _q_doc_quality_labels,
-        "contamination_hits": _q_contamination,
     }
 
 

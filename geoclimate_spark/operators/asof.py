@@ -21,8 +21,9 @@ DuckDB oracle is the INDEPENDENT native ``ASOF LEFT JOIN`` — two different
 algorithms, hash-identical output.
 
 Right-side timestamps must be unique per key (true for the events feed:
-timestamps are strictly increasing); with duplicates the highest right-row
-id wins deterministically, while DuckDB ASOF would pick arbitrarily.
+timestamps are strictly increasing); with duplicates the highest
+row_number over (key, ts) wins — deterministic and partition-independent —
+while DuckDB ASOF would pick arbitrarily.
 """
 
 from __future__ import annotations
@@ -40,37 +41,47 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
     ``{prefix}lag_us`` (microseconds since the matched right row; NULL when
     no right row at-or-before, or when older than ``tolerance_us``)."""
     lcols = [c for c in left.columns]
+    rt = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    # The carried payload is ONE struct (matched timestamp + value columns),
+    # so a matched right row whose value is NULL still rides along with its
+    # own timestamp — last(ignorenulls) skips NULL STRUCTS (left rows), not
+    # NULL fields. A per-column carry would skip to an older non-NULL value
+    # while the lag advanced, diverging from the ASOF oracle.
+    rs = F.struct(rt.alias("_rt"),
+                  *[F.col(v).alias(f"_v_{v}") for v in right_vals])
+    null_rs = F.when(F.lit(False), F.struct(
+        F.lit(None).cast("long").alias("_rt"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_v_{v}")
+          for v in right_vals]))
+    # deterministic right-row tie-break: row_number per (key, ts) — with
+    # duplicate right timestamps the LAST right row in this order wins,
+    # independent of physical partitioning (monotonically_increasing_id
+    # was partition-dependent).
+    rw = Window.partitionBy(key).orderBy(right_ts)
+    r = right.select(
+        F.col(key).alias("_k"), rt.alias("_t"),
+        F.lit(0).alias("_side"),
+        F.row_number().over(rw).cast("long").alias("_rid"),
+        rs.alias("_rs"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols])
     l = left.select(
         F.col(key).alias("_k"),
         F.unix_micros(F.col(left_ts).cast("timestamp")).alias("_t"),
         F.lit(1).alias("_side"), F.lit(None).cast("long").alias("_rid"),
-        F.lit(None).cast("long").alias("_rt"),
-        *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_v_{v}")
-          for v in right_vals])
-    rt = F.unix_micros(F.col(right_ts).cast("timestamp"))
-    r = right.select(
-        F.col(key).alias("_k"), rt.alias("_t"),
-        F.lit(0).alias("_side"),
-        F.monotonically_increasing_id().alias("_rid"),
-        rt.alias("_rt"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(v).alias(f"_v_{v}") for v in right_vals])
+        null_rs.alias("_rs"),
+        *[F.col(c) for c in lcols])
     u = l.unionByName(r)
     w = (Window.partitionBy("_k").orderBy("_t", "_side", "_rid")
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = u.select(
-        "*",
-        F.last("_rt", ignorenulls=True).over(w).alias("_m_rt"),
-        *[F.last(f"_v_{v}", ignorenulls=True).over(w).alias(f"_m_{v}")
-          for v in right_vals])
-    lag = F.col("_t") - F.col("_m_rt")
-    fresh = (F.col("_m_rt").isNotNull()
+        "*", F.last("_rs", ignorenulls=True).over(w).alias("_m"))
+    lag = F.col("_t") - F.col("_m._rt")
+    fresh = (F.col("_m").isNotNull()
              & ((lag <= F.lit(tolerance_us)) if tolerance_us is not None
                 else F.lit(True)))
     return (carried.where(F.col("_side") == 1)
             .select(*lcols,
-                    *[F.when(fresh, F.col(f"_m_{v}")).alias(f"{prefix}{v}")
+                    *[F.when(fresh, F.col(f"_m._v_{v}")).alias(f"{prefix}{v}")
                       for v in right_vals],
                     F.when(fresh, lag).cast("long").alias(f"{prefix}lag_us")))
 
@@ -99,6 +110,10 @@ def interval_join(left: DataFrame, intervals: DataFrame, key: str,
                     (lb - lb % F.lit(bucket_us)).alias("_b"),
                     F.col(key).alias("_k"))
     s, e = F.col(start_us), F.col(end_us)
+    # empty/inverted intervals yield zero matches (like the oracle's plain
+    # inequality join) instead of a runtime error from an inverted sequence
+    # (stop bucket < start bucket with a positive step)
+    intervals = intervals.where(e > s)
     iv = (intervals.select(
         F.col(key).alias("_k"), F.col(interval_id),
         s.alias("_s"), e.alias("_e"),

@@ -37,11 +37,19 @@ NGRAM_N = 5
 
 
 def _token_ngrams_col(toks: Column, n: int) -> Column:
-    """Distinct space-joined token n-grams (empty when < n tokens)."""
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i, n))))
+    """Distinct space-joined token n-grams (empty when < n tokens).
+
+    The short-doc branch must be guarded BEFORE the sequence is built:
+    Spark's ``sequence(1, 0)`` defaults to step -1 and yields the DESCENDING
+    [1, 0], whose 0 index makes ``slice`` throw at runtime — while DuckDB's
+    ``generate_series(1, 0)`` is empty. CASE branches evaluate lazily, so
+    the guarded form is safe for any token count and matches the oracle."""
+    ngs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, ngs)
+        .otherwise(F.array().cast("array<string>")))
 
 
 def contamination_hits(docs: DataFrame, bench_quota: int = 10,

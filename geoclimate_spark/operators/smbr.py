@@ -22,7 +22,12 @@ and DuckDB:
   C = dx·y − dy·x over the component's points — exact int64; the enclosing
   rectangle area is (ΔP·ΔC)/len² evaluated in ONE fixed double expression
   (IEEE mul/div are exactly rounded → bit-identical across engines);
-* winner = lowest (area, id_i, id_j) — a deterministic window top-1;
+* candidate directions are gcd-REDUCED to primitive vectors and deduped,
+  so parallel pairs collapse to one direction class; winner = lowest
+  (area, dx, dy) — a deterministic, scale-invariant window top-1 that is
+  stable under hull reduction (the oracle scans all pairs, the engine only
+  hull pairs, but both see every hull-EDGE direction class and rank the
+  same way);
 * side lengths FLOOR(ΔP/√len²), FLOOR(ΔC/√len²) (sqrt is correctly rounded
   everywhere, FLOOR avoids engine-specific cast/round rules);
 * angle bins are 30° sectors of [0,180): tan²(30°) = 1/3 and tan²(60°) = 3
@@ -107,6 +112,20 @@ def _norm_dir(dx: Column, dy: Column) -> tuple[Column, Column]:
     return (F.when(flip, -dx).otherwise(dx), F.when(flip, -dy).otherwise(dy))
 
 
+def _gcd_col(a: Column, b: Column) -> Column:
+    """Exact int64 gcd(|a|, |b|) as a fixed-iteration Euclid fold — pure
+    column expression (JVM, codegen), no UDF. 48 iterations cover any
+    |input| < 2^33 (worst case is consecutive Fibonacci numbers,
+    log_phi(2^33) ~ 47); coordinate deltas here are < 2^29."""
+    acc0 = F.struct(F.abs(a).cast("long").alias("a"),
+                    F.abs(b).cast("long").alias("b"))
+    step = lambda acc, _: F.struct(
+        F.when(acc["b"] == 0, acc["a"]).otherwise(acc["b"]).alias("a"),
+        F.when(acc["b"] == 0, F.lit(0).cast("long"))
+        .otherwise(acc["a"] % acc["b"]).alias("b"))
+    return F.aggregate(F.sequence(F.lit(1), F.lit(48)), acc0, step)["a"]
+
+
 def sector_bin_col(dx: Column, dy: Column) -> Column:
     """30° sector of the normalized direction's angle in [0,180) — exact
     integer comparisons (see module docstring)."""
@@ -145,10 +164,7 @@ def smbr_per_component(comp_pts: DataFrame) -> DataFrame:
     # to their exact hull before the O(n³) scan (the asymptotic guard —
     # a 10^4-point block would otherwise cost 10^12 pair-extents); small
     # components skip the Arrow hop because per-tiny-group pandas overhead
-    # exceeds the scan saved. On degenerate all-collinear components every
-    # pair direction ties at area 0 and the hull pair wins instead of the
-    # lowest-id pair — the downstream (bin, w) weights are identical either
-    # way because w and bin are invariant under direction rescaling.
+    # exceeds the scan saved.
     nw = Window.partitionBy("component")
     sized = comp_pts.withColumn("_n", F.count("*").over(nw))
     small = sized.where(F.col("_n") <= HULL_MIN_N).drop("_n")
@@ -160,26 +176,35 @@ def smbr_per_component(comp_pts: DataFrame) -> DataFrame:
     raw = (a.join(b, (F.col("a.component") == F.col("b.component"))
                   & (F.col("a.pid") < F.col("b.pid")))
            .select(F.col("a.component").alias("component"),
-                   F.col("a.pid").alias("id_i"), F.col("b.pid").alias("id_j"),
                    (F.col("b.x") - F.col("a.x")).alias("_dx"),
                    (F.col("b.y") - F.col("a.y")).alias("_dy"))
            .where((F.col("_dx") != 0) | (F.col("_dy") != 0)))
+    # gcd-reduce to the PRIMITIVE direction and dedup: parallel pairs
+    # collapse to one (dx, dy) class, so the ranking below is invariant to
+    # WHICH pairs produced a direction — hull-reduced engine and full-pair
+    # oracle see identical direction classes wherever it matters (the
+    # minimum-area direction is a hull-edge direction), and w/bin are
+    # computed from the same primitive vector bit-for-bit on both sides.
+    # Side benefit: the extent join fans out per distinct direction class,
+    # not per point pair.
     ndx, ndy = _norm_dir(F.col("_dx"), F.col("_dy"))
-    dirs = raw.select("component", "id_i", "id_j", ndx.alias("dx"),
-                      ndy.alias("dy"))
+    g = _gcd_col(ndx, ndy)
+    dirs = (raw.select("component", (ndx / g).cast("long").alias("dx"),
+                       (ndy / g).cast("long").alias("dy"))
+            .distinct())
     p = comp_pts.select(F.col("component"), F.col("x"), F.col("y"))
     ext = (dirs.join(p, "component")
-           .select("component", "id_i", "id_j", "dx", "dy",
+           .select("component", "dx", "dy",
                    (F.col("dx") * F.col("x") + F.col("dy") * F.col("y")).alias("_p"),
                    (F.col("dx") * F.col("y") - F.col("dy") * F.col("x")).alias("_c"))
-           .groupBy("component", "id_i", "id_j", "dx", "dy")
+           .groupBy("component", "dx", "dy")
            .agg((F.max("_p") - F.min("_p")).alias("d_p"),
                 (F.max("_c") - F.min("_c")).alias("d_c")))
     len2 = (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
     area = (F.col("d_p").cast("double") * F.col("d_c").cast("double")
             / len2.cast("double"))
     w = Window.partitionBy("component").orderBy(
-        F.col("_area").asc(), F.col("id_i").asc(), F.col("id_j").asc())
+        F.col("_area").asc(), F.col("dx").asc(), F.col("dy").asc())
     return (ext.withColumn("_area", area)
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -210,27 +235,31 @@ def smbr_sql(comp_pts_sql: str) -> str:
     bin_d = sector_bin_sql("dx", "dy")
     bin_p = sector_bin_sql("pdx", "pdy")
     return f"""WITH comp_pts AS ({comp_pts_sql}),
-raw AS (SELECT a.component, a.pid AS id_i, b.pid AS id_j,
+raw AS (SELECT a.component,
        b.x - a.x AS rdx, b.y - a.y AS rdy
   FROM comp_pts a JOIN comp_pts b ON a.component = b.component
    AND a.pid < b.pid
   WHERE b.x != a.x OR b.y != a.y),
-dirs AS (SELECT component, id_i, id_j,
-       CASE WHEN rdy < 0 OR (rdy = 0 AND rdx < 0) THEN -rdx ELSE rdx END AS dx,
-       CASE WHEN rdy < 0 OR (rdy = 0 AND rdx < 0) THEN -rdy ELSE rdy END AS dy
+normed AS (SELECT component,
+       CASE WHEN rdy < 0 OR (rdy = 0 AND rdx < 0) THEN -rdx ELSE rdx END AS ndx,
+       CASE WHEN rdy < 0 OR (rdy = 0 AND rdx < 0) THEN -rdy ELSE rdy END AS ndy
   FROM raw),
-ext AS (SELECT d.component, d.id_i, d.id_j, d.dx, d.dy,
+dirs AS (SELECT DISTINCT component,
+       CAST(ndx / gcd(abs(ndx), abs(ndy)) AS BIGINT) AS dx,
+       CAST(ndy / gcd(abs(ndx), abs(ndy)) AS BIGINT) AS dy
+  FROM normed),
+ext AS (SELECT d.component, d.dx, d.dy,
        MAX(d.dx * p.x + d.dy * p.y) - MIN(d.dx * p.x + d.dy * p.y) AS d_p,
        MAX(d.dx * p.y - d.dy * p.x) - MIN(d.dx * p.y - d.dy * p.x) AS d_c
   FROM dirs d JOIN comp_pts p ON p.component = d.component
-  GROUP BY 1, 2, 3, 4, 5),
+  GROUP BY 1, 2, 3),
 scored AS (SELECT *, dx * dx + dy * dy AS len2,
        CAST(d_p AS DOUBLE) * CAST(d_c AS DOUBLE)
          / CAST(dx * dx + dy * dy AS DOUBLE) AS area,
        ROW_NUMBER() OVER (PARTITION BY component
            ORDER BY CAST(d_p AS DOUBLE) * CAST(d_c AS DOUBLE)
                     / CAST(dx * dx + dy * dy AS DOUBLE) ASC,
-                    id_i ASC, id_j ASC) AS rn
+                    dx ASC, dy ASC) AS rn
   FROM ext),
 win AS (SELECT component, dx, dy, len2, d_p, d_c FROM scored WHERE rn = 1),
 perp AS (SELECT component, len2, d_c,

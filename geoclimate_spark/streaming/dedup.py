@@ -50,11 +50,23 @@ from ..operators import dedup as D
 EST_THRESHOLD = 0.8
 
 
-def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+def _read_store(spark: SparkSession, store_dir: str,
+                exclude_batch: int | None = None) -> DataFrame | None:
+    """The persisted store, MINUS the in-flight batch's own partition.
+
+    A batch retried after a crash (store/batch=N committed, out/batch=N
+    not) must not see its previous attempt's fingerprints: the anti-join
+    would drop the batch's own unique docs and the overwrite would then
+    empty store/batch=N — silent loss. Excluding ``batch = exclude_batch``
+    makes the retry read exactly the pre-batch state, so it converges to
+    the same store AND output as a clean first run."""
     p = Path(store_dir)
     if not p.exists() or not any(p.glob("batch=*")):
         return None
-    return spark.read.parquet(store_dir)
+    df = spark.read.parquet(store_dir)
+    if exclude_batch is not None:
+        df = df.where(F.col("batch") != exclude_batch)
+    return df
 
 
 def _write_metrics(store_dir: str, batch_id: int, rec: dict) -> None:
@@ -83,7 +95,7 @@ def exact_dedup_batch(batch: DataFrame, batch_id: int, store_dir: str,
     m = batch.select(F.col(id_col).alias("id"), fp.alias("fp"))
     n_in = batch.count()
     canon = m.groupBy("fp").agg(F.min("id").alias("id"))
-    store = _read_store(spark, store_dir)
+    store = _read_store(spark, store_dir, exclude_batch=batch_id)
     novel = (canon.join(store.select("fp"), "fp", "left_anti")
              if store is not None else canon)
     novel = novel.persist()
@@ -141,7 +153,7 @@ def minhash_dedup_batch(batch: DataFrame, batch_id: int, store_dir: str,
     surv = sig.join(dropped_b, "id", "left_anti").persist()
     n_surv = surv.count()
     # cross-batch: survivor dropped when any stored signature matches
-    store = _read_store(spark, store_dir)
+    store = _read_store(spark, store_dir, exclude_batch=batch_id)
     if store is not None:
         st = store.drop("batch")
         cand2 = (_band_long(surv).alias("x")

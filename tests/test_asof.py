@@ -51,3 +51,34 @@ def test_tolerance_nulls_stale_matches(spark):
                tolerance_us=10_000_000)
     assert got[1] == (1.5, 2_000_000)
     assert got[2] == (None, None)   # 42 s stale > 10 s tolerance
+
+
+def test_null_right_value_rides_with_its_timestamp(spark):
+    # matched feed row with NULL value → asof_value NULL but lag = that
+    # row's lag (NOT an older non-NULL value) — ADVICE r2 regression
+    got = _run(spark,
+               [(1, 1, TS(30))],
+               [(1, TS(10), 1.5), (1, TS(20), None)])
+    assert got[1] == (None, 10_000_000)
+
+
+def test_interval_join_empty_and_inverted_intervals_yield_no_rows(spark):
+    import datetime as dt
+    from pyspark.sql import types as T
+    from geoclimate_spark.operators import asof
+
+    left = spark.createDataFrame([(1, 1, TS(10))], L_SCHEMA)
+    iv_schema = T.StructType([
+        T.StructField("interval_id", T.LongType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+    ])
+    t0 = int(dt.datetime(2024, 1, 1, 0, 0, 10).timestamp() * 1_000_000)
+    ivs = spark.createDataFrame(
+        [(1, 1, t0, t0),            # empty: end == start
+         (2, 1, t0, t0 - 5),        # inverted
+         (3, 1, t0, t0 + 1)],       # valid, contains t0
+        iv_schema)
+    out = asof.interval_join(left, ivs, key="k").collect()
+    assert [(r.interval_id, r.offset_us) for r in out] == [(3, 0)]

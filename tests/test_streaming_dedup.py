@@ -109,3 +109,32 @@ def test_minhash_incremental_drops_within_and_across_batches(spark, tmp_path):
     mets = sd.dedup_metrics(str(tmp_path / "store"))
     assert sum(m["within_dropped"] for m in mets) == 1   # doc 4
     assert sum(m["cross_dropped"] for m in mets) == 1    # doc 10
+
+
+def test_retry_of_committed_store_partition_is_idempotent(spark, tmp_path):
+    """Crash between store/batch=N commit and out/batch=N: the retry must
+    not see its own prior attempt's fingerprints (ADVICE r2 regression)."""
+    from geoclimate_spark.streaming.dedup import exact_dedup_batch
+
+    d = _docs(spark)
+    b0 = d.where(F.col("doc_id") < 100)
+    b1 = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    exact_dedup_batch(b0, 0, store, out)
+    exact_dedup_batch(b1, 1, store, out)
+    kept_before = sorted(
+        int(r.doc_id)
+        for r in spark.read.parquet(f"{out}/batch=1").collect())
+    store_before = sorted(
+        r.fp for r in spark.read.parquet(f"{store}/batch=1").collect())
+    assert kept_before  # batch 1 retained something
+
+    # simulate the crash-retry: store/batch=1 exists, rerun batch 1
+    exact_dedup_batch(b1, 1, store, out)
+    kept_after = sorted(
+        int(r.doc_id)
+        for r in spark.read.parquet(f"{out}/batch=1").collect())
+    store_after = sorted(
+        r.fp for r in spark.read.parquet(f"{store}/batch=1").collect())
+    assert kept_after == kept_before
+    assert store_after == store_before
