@@ -25,7 +25,8 @@ from geoclimate_spark.functions.extract import with_extraction
 from geoclimate_spark.operators import dedup
 from geoclimate_spark.operators import distribution as dist_op
 from geoclimate_spark.operators import (asof, classify, components,
-                                        contamination, curation, facade, knn,
+                                        contamination, curation, facade,
+                                        griddist, knn, noise,
                                         overlay, polygon_overlay, repetition,
                                         smbr, raster, roads, similarity,
                                         windows, zonal)
@@ -773,6 +774,146 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").cast("long").alias("doc_id")))
 
 
+# ------------------------------------------------------ round-3 operators
+RESIZE_W = RESIZE_H = 8
+FRAME_EVERY_N = 5
+WARM_LANGS = LANG_BUCKETS["latin"]
+REL_SIZE = 8  # one relation (outer ring + hole) per 8 documents
+
+
+def _q_tile_boundary_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gridDistances analogue: per grid cell with center inside a convex
+    zone polygon, the exact distance to the zone boundary."""
+    return griddist.grid_distances(layers.poly_zone_vertices_df(spark))
+
+
+def _q_zone_inverse_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inversePolygons / sprawl cool-area analogue: per-zone complement of
+    the union of all land-cover layers, from the shared overlay atoms."""
+    zones = raster.zone_bounds_df(spark)
+    combos = overlay.overlay_rect_layers(
+        zones, layers.rect_layers_df(spark), list(layers.RECT_LAYER_NAMES))
+    return overlay.inverse_cover(combos, zones, list(layers.RECT_LAYER_NAMES))
+
+
+def _q_roof_gable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roofAreaDistribution gable model: vertical / non-vertical roof area
+    per height band, party-wall corrected."""
+    return facade.roof_area_distribution_gable(
+        _zoned_pages(spark, sf_dir), raster.zone_bounds_df(spark),
+        FACADE_BUFFER_E6)
+
+
+def _q_tile_neighbor_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid 8-neighbor smoothing over the per-tile weighted lang mode."""
+    base = _q_mode_lang_per_tile(spark, sf_dir)
+    return tile_op.neighbor_smoothing(
+        base.select("tile_id", "mode_lang", "mode_weight"),
+        TILE_RES, warm=WARM_LANGS)
+
+
+def _relation_parts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation fixture: one rect outer ring + one strictly-inside rect
+    hole per REL_SIZE documents, all integer arithmetic (mirrored in
+    :func:`_relation_parts_sql`)."""
+    rel = (_docs(spark, sf_dir)
+           .select((F.col("doc_id") / REL_SIZE).cast("long").alias("rel"))
+           .distinct())
+    p = lambda m, a: ((F.col("rel") * m + a) % 2147483647)
+    rel = rel.select(
+        "rel",
+        (p(1103515245, 12345) % 300000001 - 150000000).alias("x0"),
+        (p(1588635695, 7) % 120000001 - 60000000).alias("y0"),
+        (p(784588716, 31) % 20000001 + 2000000).alias("w"),
+        (p(1203248318, 97) % 16000001 + 2000000).alias("h"))
+    q = lambda c: ((F.col(c) - F.col(c) % 4) / 4).cast("long")
+    rel = rel.withColumn("qx", q("w")).withColumn("qy", q("h"))
+    corners = spark.createDataFrame(
+        [(ring, role, seq, cx, cy)
+         for ring, role in ((0, "outer"), (1, "inner"))
+         for seq, (cx, cy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)])],
+        "ring_id long, role string, seq long, cx long, cy long")
+    j = rel.crossJoin(F.broadcast(corners))
+    inner = F.col("ring_id") == 1
+    x = (F.col("x0") + F.when(inner, F.col("qx")).otherwise(F.lit(0))
+         + F.col("cx") * (F.col("w") - F.when(inner, 2 * F.col("qx"))
+                          .otherwise(F.lit(0))))
+    y = (F.col("y0") + F.when(inner, F.col("qy")).otherwise(F.lit(0))
+         + F.col("cy") * (F.col("h") - F.when(inner, 2 * F.col("qy"))
+                          .otherwise(F.lit(0))))
+    return j.select(F.col("rel").alias("relation_id"), "ring_id", "role",
+                    "seq", x.alias("x"), y.alias("y"))
+
+
+def _relation_parts_sql() -> str:
+    p = lambda m, a: f"((rel * {m} + {a}) % 2147483647)"
+    return f"""WITH rel AS (
+  SELECT DISTINCT CAST(doc_id // {REL_SIZE} AS BIGINT) AS rel FROM documents),
+dims AS (SELECT rel,
+       {p(1103515245, 12345)} % 300000001 - 150000000 AS x0,
+       {p(1588635695, 7)} % 120000001 - 60000000 AS y0,
+       {p(784588716, 31)} % 20000001 + 2000000 AS w,
+       {p(1203248318, 97)} % 16000001 + 2000000 AS h
+  FROM rel),
+dims2 AS (SELECT *, CAST((w - w % 4) / 4 AS BIGINT) AS qx,
+       CAST((h - h % 4) / 4 AS BIGINT) AS qy FROM dims),
+corners AS (SELECT * FROM (VALUES
+  (0, 'outer', 0, 0, 0), (0, 'outer', 1, 1, 0),
+  (0, 'outer', 2, 1, 1), (0, 'outer', 3, 0, 1),
+  (1, 'inner', 0, 0, 0), (1, 'inner', 1, 1, 0),
+  (1, 'inner', 2, 1, 1), (1, 'inner', 3, 0, 1)
+) AS c(ring_id, role, seq, cx, cy))
+SELECT d.rel AS relation_id, CAST(c.ring_id AS BIGINT) AS ring_id, c.role,
+       CAST(c.seq AS BIGINT) AS seq,
+       CAST(d.x0 + CASE WHEN c.ring_id = 1 THEN d.qx ELSE 0 END
+          + c.cx * (d.w - CASE WHEN c.ring_id = 1 THEN 2 * d.qx ELSE 0 END)
+          AS BIGINT) AS x,
+       CAST(d.y0 + CASE WHEN c.ring_id = 1 THEN d.qy ELSE 0 END
+          + c.cy * (d.h - CASE WHEN c.ring_id = 1 THEN 2 * d.qy ELSE 0 END)
+          AS BIGINT) AS y
+FROM dims2 d CROSS JOIN corners c"""
+
+
+def _q_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relations→multipolygons with holes: net area = |outer| − Σ|holes|."""
+    return assembly.assemble_relations(_relation_parts_df(spark, sf_dir))
+
+
+def _q_road_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roads.road_traffic(roads.roads_df(spark))
+
+
+def _q_road_zone_stats_zindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roads.road_zone_stats_by_level(roads.roads_df(spark),
+                                          raster.zone_bounds_df(spark))
+
+
+def _q_ground_acoustic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return noise.ground_acoustic_absorption(
+        raster.zone_bounds_df(spark), layers.rect_layers_df(spark),
+        list(layers.RECT_LAYER_NAMES), SURFACE_PRIORITY)
+
+
+def _q_zone_mean_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ab = noise.ground_acoustic_absorption(
+        raster.zone_bounds_df(spark), layers.rect_layers_df(spark),
+        list(layers.RECT_LAYER_NAMES), SURFACE_PRIORITY)
+    return noise.zone_mean_absorption(ab, raster.zone_bounds_df(spark))
+
+
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pure-numpy resize codec over the synthetic format; stats are
+    decoded FROM the resized bytes and hash-checked against doc_id
+    arithmetic (every output pixel is pinned via the frame-0 sum)."""
+    m = media.synth_media(_docs(spark, sf_dir))
+    return media.resize_stats(media.image_resize(m, RESIZE_W, RESIZE_H))
+
+
+def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media.synth_media(_docs(spark, sf_dir))
+    return media.sample_stats(media.frame_sample(m, FRAME_EVERY_N))
+
+
 def _q_page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _geo_points(spark, sf_dir)
     edges = components.proximity_edges(pts, CC_RADIUS_E6)
@@ -806,6 +947,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_documents": _q_curated_documents,
         "rect_zone_assignment": _q_rect_zone_assignment,
         # -- block 2: new in round 3 / semantics changed in round 3 --
+        "tile_boundary_distance": _q_tile_boundary_distance,
+        "zone_inverse_cover": _q_zone_inverse_cover,
+        "roof_area_distribution_gable": _q_roof_gable,
+        "tile_neighbor_smoothing": _q_tile_neighbor_smoothing,
+        "relation_assembly": _q_relation_assembly,
+        "road_traffic": _q_road_traffic,
+        "road_zone_stats_zindex": _q_road_zone_stats_zindex,
+        "ground_acoustic_absorption": _q_ground_acoustic,
+        "zone_mean_absorption": _q_zone_mean_absorption,
+        "media_resize": _q_media_resize,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_metadata": _q_media_metadata,  # payload format changed (r3)
         "smbr_direction_distribution": _q_smbr_direction,  # gcd tie-break (r3)
         "tile_lod_rollup": _q_tile_lod,
         # -- block 3: stable but load-bearing (keep inside the window) --
@@ -822,16 +975,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_ground_layer": _q_ground_layer,
         "zone_layer_difference": _q_layer_difference,
         "component_dissolve": _q_component_dissolve,
-        "way_assembly": _q_way_assembly,
         "way_size_properties": _q_way_size_props,
         "poly_pair_intersections": _q_poly_pair_areas,
         "nc_poly_pair_intersections": _q_nc_poly_pair_areas,
         "page_components": _q_page_components,
         "zone_indicator_table": _q_zone_indicator_table,
+        # -- block 4: twice-green, rotated out of the 50-query window --
+        "way_assembly": _q_way_assembly,
         "direction_distribution": _q_direction_distribution,
         "zone_classification": _q_zone_classification,
         "zone_geometry_props": _q_zone_geometry_props,
-        # -- block 4: twice-green, rotated out of the 50-query window --
         "poly_zone_layer_cover": _q_poly_layer_cover,
         "zone_classification_rf": _q_zone_classification_rf,
         "zone_tile_assignment_modeb": _q_tile_modeb,
@@ -1127,6 +1280,41 @@ WHERE lon_e6 IS NOT NULL""",
         "zone_surface_fractions": overlay.surface_fractions_sql(
             _overlay_combos_oracle_sql(), raster.zone_bounds_values_sql(),
             list(layers.RECT_LAYER_NAMES), SURFACE_PRIORITY),
+        "tile_boundary_distance": griddist.grid_distances_sql(
+            layers.poly_zone_vertices_values_sql()),
+        "zone_inverse_cover": overlay.inverse_cover_sql(
+            _overlay_combos_oracle_sql(), raster.zone_bounds_values_sql(),
+            list(layers.RECT_LAYER_NAMES)),
+        "roof_area_distribution_gable": facade.roof_area_distribution_gable_sql(
+            _facade_pages_sql(), raster.zone_bounds_values_sql(),
+            FACADE_BUFFER_E6),
+        "tile_neighbor_smoothing": tile_op.neighbor_smoothing_sql(
+            zonal.mode_weighted_sql(
+                f"""{_PAGES_CTE}
+SELECT CAST({tile} AS BIGINT) AS tile_id, lang, LENGTH(text) AS chars
+FROM pages WHERE lon_e6 IS NOT NULL""",
+                "tile_id", "lang", "chars"),
+            TILE_RES, warm=WARM_LANGS),
+        "relation_assembly": assembly.assemble_relations_sql(
+            _relation_parts_sql()),
+        "road_traffic": roads.road_traffic_sql(roads.roads_values_sql()),
+        "road_zone_stats_zindex": roads.road_zone_stats_by_level_sql(
+            roads.roads_values_sql(), raster.zone_bounds_values_sql()),
+        "ground_acoustic_absorption": noise.ground_acoustic_absorption_sql(
+            raster.zone_bounds_values_sql(),
+            f"SELECT layer, lon0, lat0, lon1, lat1 FROM"
+            f" ({layers.rect_layers_values_sql()}) r",
+            SURFACE_PRIORITY),
+        "zone_mean_absorption": noise.zone_mean_absorption_sql(
+            noise.ground_acoustic_absorption_sql(
+                raster.zone_bounds_values_sql(),
+                f"SELECT layer, lon0, lat0, lon1, lat1 FROM"
+                f" ({layers.rect_layers_values_sql()}) r",
+                SURFACE_PRIORITY),
+            raster.zone_bounds_values_sql()),
+        "media_resize": media.media_resize_oracle_sql(RESIZE_W, RESIZE_H),
+        "media_frame_sample": media.media_frame_sample_oracle_sql(
+            FRAME_EVERY_N),
         "component_dissolve": overlay.dissolve_components_sql(
             "SELECT page_id, component FROM ("
             + components.connected_components_sql(

@@ -419,7 +419,186 @@ SELECT zone_id, layer, CAST(SUM(area) AS BIGINT) AS roof_area_e6sq,
 FROM winner GROUP BY zone_id, layer"""
 
 
-# ------------------------------------------------------ theta ordered pairs
+# ------------------------------------------------- gable roof distribution
+def gable_col_names(bounds: tuple[int, ...] = LAYER_BOUNDS) -> list[str]:
+    return ([f"nv_h{i}" for i in range(len(bounds))]
+            + [f"v_h{i}" for i in range(len(bounds))])
+
+
+def _gable_band_cols(z_min: Column, z_max: Column, dh: Column,
+                     nvra: Column, vra: Column,
+                     bounds: tuple[int, ...]) -> list[Column]:
+    """The reference's per-band gable split (`RsuIndicators.groovy:798-825`):
+    non-vertical roof area is LINEAR in height within [z_min, z_max]
+    (uniform along the ridge), vertical (gable-triangle) area is QUADRATIC
+    from the apex. Returns [nv_h0.., v_h0..] doubles, one per band, with
+    the open top band linear for both (reference `:819-825`)."""
+    d = lambda c: c.cast("double")
+    sq = lambda c: c * c
+    nv, v = [], []
+    for i in range(1, len(bounds)):
+        lo, hi = bounds[i - 1], bounds[i]
+        up = d(z_max - F.greatest(F.lit(lo), z_min))
+        nv.append(
+            F.when(z_max <= lo, F.lit(0.0))
+            .when(z_max <= hi,
+                  F.when(dh == 0, nvra).otherwise(nvra * (up / d(dh))))
+            .otherwise(F.when(
+                z_min < hi,
+                nvra * (d(F.lit(hi) - F.greatest(F.lit(lo), z_min)) / d(dh)))
+                .otherwise(F.lit(0.0))))
+        v.append(
+            F.when(z_max <= lo, F.lit(0.0))
+            .when(z_max <= hi,
+                  F.when(dh == 0, F.lit(0.0))
+                  .otherwise(vra * sq(up / d(dh))))
+            .otherwise(F.when(
+                z_min < hi,
+                F.when(z_min > lo,
+                       vra * (F.lit(1.0) - sq(d(z_max - F.lit(hi)) / d(dh))))
+                .otherwise(vra * (sq(d(z_max - F.lit(lo)) / d(dh))
+                                  - sq(d(z_max - F.lit(hi)) / d(dh)))))
+                .otherwise(F.lit(0.0))))
+    top = bounds[-1]
+    top_frac = d(z_max - F.greatest(F.lit(top), z_min)) / d(dh)
+    nv.append(F.when(z_max <= top, F.lit(0.0))
+              .otherwise(F.when(dh == 0, nvra).otherwise(nvra * top_frac)))
+    v.append(F.when(z_max <= top, F.lit(0.0))
+             .otherwise(F.when(dh == 0, vra).otherwise(vra * top_frac)))
+    return nv + v
+
+
+def roof_area_distribution_gable(pages: DataFrame, zones: DataFrame,
+                                 buffer_e6: int,
+                                 bounds: tuple[int, ...] = LAYER_BOUNDS) -> DataFrame:
+    """`roofAreaDistribution` gable model (`RsuIndicators.groovy:659-858`):
+    per zone, vertical (gable-end triangles) and non-vertical (tilted
+    panels) roof area per height band.
+
+    Graft model: building = buffered square (area A = (2r)², exact), roof
+    height z_max = chars, wall height z_min = chars // 2. Per reference:
+    ``non_vertical = sqrt(A² + 4·A·Δh²)``, ``vertical = sqrt(A)·Δh``
+    (`:697-699`); the party correction removes ``sqrt(min(A_a,A_b))·Δh_b/2``
+    per intersecting neighbor whose WALL tops b's ROOF (``a.z_min >=
+    b.z_max``, `:712-723`); zone-boundary clipping factors are 1 because
+    footprints are attributed wholly to the owner zone (the facade-family
+    simplification, module docstring). Neighbor candidates ride the same
+    kring equi-join as every square-pair operator (never a cross join).
+
+    Per-row band contributions are rounded to integer milli-units BEFORE
+    the zonal sum (the roads.py convention) so partial-aggregation order
+    cannot perturb the result. Returns (zone_id, nv_h0.., v_h0..) doubles,
+    empty zones kept at 0."""
+    sq_ = square_footprints(pages, buffer_e6)
+    area = (2 * buffer_e6) ** 2
+    zmin = ((F.col("h") - F.col("h") % 2) / 2).cast("long")
+    bld = sq_.withColumn("z_min", zmin).withColumn(
+        "dh", F.col("h") - F.col("z_min"))
+    pairs = overlap_pairs(sq_, buffer_e6)
+    a_zmin = ((F.col("ha") - F.col("ha") % 2) / 2).cast("long")
+    b_dh = (F.col("hb") - ((F.col("hb") - F.col("hb") % 2) / 2).cast("long"))
+    # all squares share area, so min(A_a, A_b) = A; kept in formula form
+    term = F.sqrt(F.lit(float(area))) * b_dh.cast("double") / F.lit(2.0)
+    rem = (pairs.where(a_zmin >= F.col("hb"))
+           .groupBy(F.col("id_b").alias("page_id"))
+           .agg(F.sum(term).alias("_rm")))
+    nvra = F.sqrt((F.lit(area) * F.lit(area)
+                   + F.lit(4 * area) * F.col("dh") * F.col("dh"))
+                  .cast("double"))
+    vra0 = F.sqrt(F.lit(float(area))) * F.col("dh").cast("double")
+    rows = (bld.join(rem, "page_id", "left")
+            .withColumn("_nvra", nvra)
+            .withColumn("_vra", vra0 - F.coalesce(F.col("_rm"), F.lit(0.0))))
+    band_cols = _gable_band_cols(F.col("z_min"), F.col("h"), F.col("dh"),
+                                 F.col("_nvra"), F.col("_vra"), bounds)
+    names = gable_col_names(bounds)
+    rows = rows.select("zone_id", *[
+        F.round(c * 1000).cast("long").alias(f"_mi_{n}")
+        for n, c in zip(names, band_cols)])
+    agg = rows.groupBy("zone_id").agg(
+        *[F.sum(f"_mi_{n}").alias(f"_mi_{n}") for n in names])
+    out = zones.select("zone_id").join(agg, "zone_id", "left")
+    return out.select("zone_id", *[
+        (F.coalesce(F.col(f"_mi_{n}"), F.lit(0)).cast("double") / 1000.0)
+        .alias(n) for n in names])
+
+
+def _gable_band_sqls(bounds: tuple[int, ...]) -> list[tuple[str, str]]:
+    """(name, expr) SQL mirrors of :func:`_gable_band_cols` over columns
+    z_min, z_max, dh, nvra, vra."""
+    d = lambda s: f"CAST({s} AS DOUBLE)"
+    out = []
+    for i in range(1, len(bounds)):
+        lo, hi = bounds[i - 1], bounds[i]
+        up = d(f"z_max - GREATEST({lo}, z_min)")
+        frac = f"({up} / {d('dh')})"
+        nv = (f"CASE WHEN z_max <= {lo} THEN 0.0 "
+              f"WHEN z_max <= {hi} THEN CASE WHEN dh = 0 THEN nvra"
+              f" ELSE nvra * {frac} END "
+              f"ELSE CASE WHEN z_min < {hi} THEN"
+              f" nvra * ({d(f'{hi} - GREATEST({lo}, z_min)')} / {d('dh')})"
+              f" ELSE 0.0 END END")
+        ftop = f"({d(f'z_max - {hi}')} / {d('dh')})"
+        flo = f"({d(f'z_max - {lo}')} / {d('dh')})"
+        v = (f"CASE WHEN z_max <= {lo} THEN 0.0 "
+             f"WHEN z_max <= {hi} THEN CASE WHEN dh = 0 THEN 0.0"
+             f" ELSE vra * ({frac} * {frac}) END "
+             f"ELSE CASE WHEN z_min < {hi} THEN"
+             f" CASE WHEN z_min > {lo} THEN vra * (1.0 - ({ftop} * {ftop}))"
+             f" ELSE vra * (({flo} * {flo}) - ({ftop} * {ftop})) END"
+             f" ELSE 0.0 END END")
+        out.append((f"nv_h{i - 1}", nv))
+        out.append((f"v_h{i - 1}", v))
+    top = bounds[-1]
+    tfrac = f"({d(f'z_max - GREATEST({top}, z_min)')} / {d('dh')})"
+    k = len(bounds) - 1
+    out.append((f"nv_h{k}",
+                f"CASE WHEN z_max <= {top} THEN 0.0 ELSE CASE WHEN dh = 0"
+                f" THEN nvra ELSE nvra * {tfrac} END END"))
+    out.append((f"v_h{k}",
+                f"CASE WHEN z_max <= {top} THEN 0.0 ELSE CASE WHEN dh = 0"
+                f" THEN vra ELSE vra * {tfrac} END END"))
+    # reorder: all nv first, then all v (gable_col_names order)
+    nvs = [p for p in out if p[0].startswith("nv_")]
+    vs = [p for p in out if p[0].startswith("v_")]
+    return nvs + vs
+
+
+def roof_area_distribution_gable_sql(pages_sql: str, zones_sql: str,
+                                     buffer_e6: int,
+                                     bounds: tuple[int, ...] = LAYER_BOUNDS) -> str:
+    r = buffer_e6
+    area = (2 * r) ** 2
+    bands = _gable_band_sqls(bounds)
+    mi = ",\n       ".join(
+        f"CAST(ROUND(({e}) * 1000) AS BIGINT) AS _mi_{n}" for n, e in bands)
+    sums = ",\n       ".join(
+        f"SUM(_mi_{n}) AS _mi_{n}" for n, _ in bands)
+    outs = ",\n       ".join(
+        f"CAST(COALESCE(_mi_{n}, 0) AS DOUBLE) / 1000.0 AS {n}"
+        for n, _ in bands)
+    return f"""WITH pg AS ({pages_sql}),
+sq AS (SELECT zone_id, page_id, chars AS h,
+       CAST((chars - chars % 2) / 2 AS BIGINT) AS z_min,
+       chars - CAST((chars - chars % 2) / 2 AS BIGINT) AS dh,
+       lon_e6 - {r} AS x0, lat_e6 - {r} AS y0,
+       lon_e6 + {r} AS x1, lat_e6 + {r} AS y1 FROM pg),
+rem AS (SELECT b.page_id,
+       SUM(SQRT(CAST({area} AS DOUBLE)) * CAST(b.dh AS DOUBLE) / 2.0) AS rm
+  FROM sq a JOIN sq b ON a.page_id != b.page_id
+   AND b.x0 <= a.x1 AND b.x1 >= a.x0 AND b.y0 <= a.y1 AND b.y1 >= a.y0
+  WHERE a.z_min >= b.h
+  GROUP BY b.page_id),
+bld AS (SELECT s.zone_id, s.z_min, s.h AS z_max, s.dh,
+       SQRT(CAST({area} * {area} + 4 * {area} * s.dh * s.dh AS DOUBLE)) AS nvra,
+       SQRT(CAST({area} AS DOUBLE)) * CAST(s.dh AS DOUBLE)
+         - COALESCE(m.rm, 0.0) AS vra
+  FROM sq s LEFT JOIN rem m USING (page_id)),
+milli AS (SELECT zone_id, {mi} FROM bld),
+agg AS (SELECT zone_id, {sums} FROM milli GROUP BY zone_id),
+zones AS ({zones_sql})
+SELECT z.zone_id, {outs}
+FROM zones z LEFT JOIN agg USING (zone_id)"""
 def theta_contact_pairs(pages: DataFrame, buffer_e6: int) -> DataFrame:
     """Theta self-join on attribute order (`RsuIndicators.groovy:710-722` —
     vertical-roof contact pairs: spatial candidates + ``a.attr >= b.attr``):

@@ -339,6 +339,54 @@ def layer_difference(combos: DataFrame, layer_names: list[str],
                  F.sum("n_atoms").cast("long").alias("n_atoms")))
 
 
+def inverse_cover(combos: DataFrame, zones: DataFrame,
+                  layer_names: list[str],
+                  layers: list[str] | None = None) -> DataFrame:
+    """Per-zone geometric COMPLEMENT of the union of ``layers`` (default:
+    all) inside the zone — the `inversePolygons` / sprawl "cool area" shape
+    (`/root/reference/geoindicators/.../SpatialUnits.groovy:695-732`
+    ST_DIFFERENCE(zone envelope, ST_UNION(accumulated polygons));
+    consumed by `WorkflowGeoIndicators.groovy:2174-2235`).
+
+    Pure combo-bitmask algebra over the :func:`overlay_rect_layers` atoms:
+    the complement is exactly the atoms covered by NONE of the selected
+    layers. Zones with no overlay row at all are fully uncovered (LEFT
+    JOIN keeps them at inverse == zone area). Returns
+    (zone_id, inverse_area_e6sq, inverse_frac, n_atoms)."""
+    mask = sum(1 << layer_names.index(n) for n in (layers or layer_names))
+    inv = (combos.where(F.col("combo").bitwiseAND(F.lit(mask)) == 0)
+           .groupBy("zone_id")
+           .agg(F.sum("area_e6sq").alias("_a"), F.sum("n_atoms").alias("_n")))
+    zarea = ((F.col("zlon1") - F.col("zlon0"))
+             * (F.col("zlat1") - F.col("zlat0")))
+    j = zones.select("zone_id", zarea.alias("_za")).join(inv, "zone_id", "left")
+    return j.select(
+        "zone_id",
+        F.coalesce(F.col("_a"), F.col("_za")).cast("long")
+        .alias("inverse_area_e6sq"),
+        (F.coalesce(F.col("_a"), F.col("_za")).cast("double")
+         / F.col("_za").cast("double")).alias("inverse_frac"),
+        F.coalesce(F.col("_n"), F.lit(1)).cast("long").alias("n_atoms"))
+
+
+def inverse_cover_sql(combos_sql: str, zones_sql: str,
+                      layer_names: list[str],
+                      layers: list[str] | None = None) -> str:
+    mask = sum(1 << layer_names.index(n) for n in (layers or layer_names))
+    return f"""WITH combos AS ({combos_sql}),
+zones AS ({zones_sql}),
+inv AS (SELECT zone_id, SUM(area_e6sq) AS a, SUM(n_atoms) AS n
+  FROM combos WHERE (combo & {mask}) = 0 GROUP BY zone_id)
+SELECT z.zone_id,
+       CAST(COALESCE(i.a, (z.zlon1 - z.zlon0) * (z.zlat1 - z.zlat0)) AS BIGINT)
+         AS inverse_area_e6sq,
+       CAST(COALESCE(i.a, (z.zlon1 - z.zlon0) * (z.zlat1 - z.zlat0)) AS DOUBLE)
+         / CAST((z.zlon1 - z.zlon0) * (z.zlat1 - z.zlat0) AS DOUBLE)
+         AS inverse_frac,
+       CAST(COALESCE(i.n, 1) AS BIGINT) AS n_atoms
+FROM zones z LEFT JOIN inv i USING (zone_id)"""
+
+
 def layer_difference_sql(combos_sql: str, layer_names: list[str],
                          minuend: str, subtrahend: str) -> str:
     a_bit = 1 << layer_names.index(minuend)

@@ -54,6 +54,102 @@ def lod_rollup(df: DataFrame, cell_col_name: str, child_res: int, levels: int,
     return out
 
 
+def neighbor_smoothing(tiles: DataFrame, res: int = TILE_RES,
+                       key: str = "tile_id", cat: str = "mode_lang",
+                       weight: str = "mode_weight",
+                       warm: tuple[str, ...] = ()) -> DataFrame:
+    """Grid 8-neighbor smoothing — the `multiscaleLCZGrid` neighborhood
+    stage (`/root/reference/geoindicators/.../GridIndicators.groovy:
+    154-165, 173-182`): each cell reads its 8 adjacent cells' primary
+    class, counts how many of the 3×3 block (self included) are in the
+    "warm" class set, and takes the weight-ordered neighborhood mode
+    (`:236-254` ORDER BY count DESC + deterministic weight tie-break —
+    here Σweight DESC, category ASC, the repo's mode convention).
+
+    Physical shape: each tile explodes to its kring-9 cells (pure integer
+    column arithmetic, lon wrap / lat clamp) and equi-joins the tile table
+    on the neighbor's own cell id — the same candidate pattern as knn.py,
+    never a theta join. Missing neighbors (no pages) simply don't join,
+    matching the reference's NULL neighbor subqueries counting 0.
+
+    Returns (tile_id, {cat}, n_nbrs, n_warm9, smooth_{cat},
+    smooth_weight)."""
+    from pyspark.sql import Window
+
+    from .knn import _kring9
+
+    centers = tiles.select(
+        F.col(key),
+        F.explode(_kring9(F.col(key), res)).alias("_cell"))
+    nb = tiles.select(F.col(key).alias("_cell"),
+                      F.col(cat).alias("_ncat"),
+                      F.col(weight).cast("long").alias("_nw"))
+    j = centers.join(nb, "_cell")
+    per = (j.groupBy(key, "_ncat")
+           .agg(F.sum("_nw").alias("_w"), F.count("*").alias("_n"),
+                F.sum(F.when(F.col("_cell") != F.col(key), 1).otherwise(0))
+                .alias("_nonself")))
+    tot = per.groupBy(key).agg(
+        F.sum("_nonself").cast("long").alias("n_nbrs"),
+        F.sum(F.when(F.col("_ncat").isin(*warm) if warm else F.lit(False),
+                     F.col("_n")).otherwise(0)).cast("long").alias("n_warm9"))
+    win = Window.partitionBy(key).orderBy(F.col("_w").desc(),
+                                          F.col("_ncat").asc())
+    top = (per.withColumn("_rn", F.row_number().over(win))
+           .where(F.col("_rn") == 1)
+           .select(key, F.col("_ncat").alias(f"smooth_{cat}"),
+                   F.col("_w").cast("long").alias("smooth_weight")))
+    return (tiles.select(key, cat)
+            .join(tot, key).join(top, key))
+
+
+def kring9_sql(cell_sql: str, res: int) -> str:
+    """SQL relation of (cell, nb) pairs — the 3×3 neighborhood of every
+    cell in ``cell_sql`` (one column named cell), lon wraps, lat clamps.
+    Mirrors knn._kring9 bit-for-bit (packed-id arithmetic)."""
+    nx, ny = grid.nx(res), grid.ny(res)
+    mask = (1 << 29) - 1
+    x = f"((cell >> 29) & {mask})"
+    y = f"(cell & {mask})"
+    return f"""SELECT c.cell,
+       CAST({res} AS BIGINT) * {1 << 58}
+         + (({x} + d.dx + {nx}) % {nx}) * {1 << 29} + ({y} + d.dy) AS nb
+FROM ({cell_sql}) c
+CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                   (1,-1),(1,0),(1,1)) AS d(dx, dy)
+WHERE {y} + d.dy >= 0 AND {y} + d.dy < {ny}"""
+
+
+def neighbor_smoothing_sql(tiles_sql: str, res: int = TILE_RES,
+                           key: str = "tile_id", cat: str = "mode_lang",
+                           weight: str = "mode_weight",
+                           warm: tuple[str, ...] = ()) -> str:
+    """DuckDB mirror of :func:`neighbor_smoothing`. ``tiles_sql`` selects
+    (key, cat, weight)."""
+    warm_in = ", ".join(f"'{w}'" for w in warm)
+    warm_case = (f"CASE WHEN _ncat IN ({warm_in}) THEN _n ELSE 0 END"
+                 if warm else "0")
+    kr = kring9_sql(f"SELECT {key} AS cell FROM tiles", res)
+    return f"""WITH tiles AS ({tiles_sql}),
+kr AS ({kr}),
+j AS (SELECT k.cell AS {key}, k.nb AS _cell, t.{cat} AS _ncat,
+             CAST(t.{weight} AS BIGINT) AS _nw
+  FROM kr k JOIN tiles t ON t.{key} = k.nb),
+per AS (SELECT {key}, _ncat, SUM(_nw) AS _w, COUNT(*) AS _n,
+       SUM(CASE WHEN _cell != {key} THEN 1 ELSE 0 END) AS _nonself
+  FROM j GROUP BY {key}, _ncat),
+tot AS (SELECT {key}, CAST(SUM(_nonself) AS BIGINT) AS n_nbrs,
+       CAST(SUM({warm_case}) AS BIGINT) AS n_warm9
+  FROM per GROUP BY {key}),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY {key}
+           ORDER BY _w DESC, _ncat ASC) AS _rn FROM per),
+top AS (SELECT {key}, _ncat AS smooth_{cat}, CAST(_w AS BIGINT)
+        AS smooth_weight FROM ranked WHERE _rn = 1)
+SELECT t.{key}, t.{cat}, tot.n_nbrs, tot.n_warm9,
+       top.smooth_{cat}, top.smooth_weight
+FROM tiles t JOIN tot USING ({key}) JOIN top USING ({key})"""
+
+
 def largest_overlap_tile(spark, zones_df: DataFrame, res: int = TILE_RES) -> DataFrame:
     """DISTRIBUTED spatialJoin mode B (largest-overlap top-1,
     `SpatialUnits.groovy:517-529` ``ORDER BY ST_AREA(ST_INTERSECTION(..))

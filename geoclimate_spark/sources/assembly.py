@@ -35,13 +35,16 @@ from pyspark.sql import functions as F
 
 
 def assemble_rings(parts: DataFrame, way: str = "way_id", seq: str = "seq",
-                   x: str = "x", y: str = "y") -> DataFrame:
-    """(way_id, n_parts, n_ring_points, n_distinct, area2_e6sq,
-    perim_floor_e6) for every way with >= 3 distinct vertices."""
+                   x: str = "x", y: str = "y",
+                   extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """(way_id, *extra_keys, n_parts, n_ring_points, n_distinct,
+    area2_e6sq, perim_floor_e6) for every ring with >= 3 distinct vertices.
+    ``extra_keys`` subdivide a way into multiple rings (relation members)."""
     pt = F.struct(F.col(seq).cast("long").alias("seq"),
                   F.col(x).cast("long").alias("x"),
                   F.col(y).cast("long").alias("y"))
-    g = (parts.groupBy(F.col(way).alias("way_id"))
+    g = (parts.groupBy(F.col(way).alias("way_id"),
+                       *[F.col(k) for k in extra_keys])
          .agg(F.sort_array(F.collect_list(pt)).alias("pts")))
     first = F.col("pts")[0]
     last = F.element_at(F.col("pts"), -1)
@@ -75,8 +78,73 @@ def assemble_rings(parts: DataFrame, way: str = "way_id", seq: str = "seq",
     perim = F.aggregate(F.transform(idx, _elen),
                         F.lit(0).cast("long"), lambda acc, v: acc + v)
     return (g.where(F.col("n_distinct") >= 3)
-            .select("way_id", "n_parts", "n_ring_points", "n_distinct",
+            .select("way_id", *extra_keys,
+                    "n_parts", "n_ring_points", "n_distinct",
                     area2.alias("area2_e6sq"), perim.alias("perim_floor_e6")))
+
+
+def assemble_relations(parts: DataFrame, rel: str = "relation_id",
+                       ring: str = "ring_id", role: str = "role",
+                       seq: str = "seq", x: str = "x", y: str = "y") -> DataFrame:
+    """Relations→multipolygons WITH HOLES.
+
+    Reference: `/root/reference/osmtools/src/main/groovy/org/orbisgis/
+    geoclimate/osmtools/utils/Transform.groovy:383-789` — OSM relation
+    members carry 'outer'/'inner' roles; inner rings are subtracted as
+    holes (ST_MAKEPOLYGON(outer, holes)), and the perimeter of a holed
+    polygon counts BOTH the shell and the hole boundaries
+    (`RsuIndicators.groovy:696`: ST_PERIMETER + ST_PERIMETER(ST_HOLES)).
+
+    Each (relation, ring, role) assembles independently through the same
+    ring fold as :func:`assemble_rings`; the per-relation rollup nets the
+    signed shoelace areas (|outer| − Σ|inner|, exact int64) and sums all
+    ring perimeters. Degenerate rings (< 3 distinct vertices) drop at the
+    ring stage; relations without a surviving outer ring drop entirely
+    (the reference's ST_ISVALID gate). One shuffle keyed by relation.
+
+    Returns (relation_id, n_rings, n_holes, area2_e6sq, hole_area2_e6sq,
+    perim_floor_e6)."""
+    rings = assemble_rings(parts, way=rel, seq=seq, x=x, y=y,
+                           extra_keys=(ring, role))
+    is_outer = F.col(role) == "outer"
+    agg = (rings.groupBy("way_id")
+           .agg(F.count("*").cast("long").alias("n_rings"),
+                F.sum(F.when(~is_outer, 1).otherwise(0)).cast("long")
+                .alias("n_holes"),
+                F.sum(F.when(is_outer, F.col("area2_e6sq"))
+                      .otherwise(-F.col("area2_e6sq"))).cast("long")
+                .alias("area2_e6sq"),
+                F.sum(F.when(~is_outer, F.col("area2_e6sq")).otherwise(0))
+                .cast("long").alias("hole_area2_e6sq"),
+                F.sum("perim_floor_e6").cast("long").alias("perim_floor_e6"),
+                F.max(F.when(is_outer, 1).otherwise(0)).alias("_has_outer")))
+    return (agg.where(F.col("_has_outer") == 1)
+            .select(F.col("way_id").alias("relation_id"), "n_rings",
+                    "n_holes", "area2_e6sq", "hole_area2_e6sq",
+                    "perim_floor_e6"))
+
+
+def assemble_relations_sql(parts_sql: str, rel: str = "relation_id",
+                           ring: str = "ring_id", role: str = "role",
+                           seq: str = "seq", x: str = "x", y: str = "y") -> str:
+    """DuckDB mirror of :func:`assemble_relations` (same LEAD/FIRST_VALUE
+    ring fold per (relation, ring, role), same signed rollup)."""
+    rings = assemble_rings_sql(parts_sql, way=rel, seq=seq, x=x, y=y,
+                               extra_keys=(ring, role))
+    return f"""WITH rings AS ({rings}),
+agg AS (SELECT way_id AS relation_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rings,
+       CAST(SUM(CASE WHEN {role} != 'outer' THEN 1 ELSE 0 END) AS BIGINT) AS n_holes,
+       CAST(SUM(CASE WHEN {role} = 'outer' THEN area2_e6sq
+                ELSE -area2_e6sq END) AS BIGINT) AS area2_e6sq,
+       CAST(SUM(CASE WHEN {role} != 'outer' THEN area2_e6sq ELSE 0 END)
+            AS BIGINT) AS hole_area2_e6sq,
+       CAST(SUM(perim_floor_e6) AS BIGINT) AS perim_floor_e6,
+       MAX(CASE WHEN {role} = 'outer' THEN 1 ELSE 0 END) AS has_outer
+  FROM rings GROUP BY way_id)
+SELECT relation_id, n_rings, n_holes, area2_e6sq, hole_area2_e6sq,
+       perim_floor_e6
+FROM agg WHERE has_outer = 1"""
 
 
 def size_properties(parts: DataFrame, way: str = "way_id", seq: str = "seq",
@@ -167,35 +235,42 @@ FROM rings r JOIN hull h USING (way_id)"""
 
 
 def assemble_rings_sql(parts_sql: str, way: str = "way_id", seq: str = "seq",
-                       x: str = "x", y: str = "y") -> str:
+                       x: str = "x", y: str = "y",
+                       extra_keys: tuple[str, ...] = ()) -> str:
     """DuckDB mirror via LEAD/FIRST_VALUE windows: consecutive part edges
-    plus the closing edge when the way is open."""
+    plus the closing edge when the way is open. ``extra_keys`` subdivide a
+    way into multiple rings, mirroring :func:`assemble_rings`."""
+    ek = "".join(f", {k}" for k in extra_keys)
+    keys = ", ".join(["way_id", *extra_keys])
+    ekf = ek
     return f"""WITH parts AS ({parts_sql}),
-o AS (SELECT {way} AS way_id, {seq} AS seq, {x} AS x, {y} AS y,
+o AS (SELECT {way} AS way_id{ekf}, {seq} AS seq, {x} AS x, {y} AS y,
        LEAD({x}) OVER w AS nx, LEAD({y}) OVER w AS ny,
        FIRST_VALUE({x}) OVER w AS fx, FIRST_VALUE({y}) OVER w AS fy,
        ROW_NUMBER() OVER w AS rn,
-       COUNT(*) OVER (PARTITION BY {way}) AS n
-  FROM parts WINDOW w AS (PARTITION BY {way} ORDER BY {seq} ASC)),
-closedness AS (SELECT way_id, MAX(CASE WHEN rn = n AND x = fx AND y = fy
-       THEN 1 ELSE 0 END) AS is_closed FROM o GROUP BY way_id),
+       COUNT(*) OVER (PARTITION BY {way}{ek}) AS n
+  FROM parts WINDOW w AS (PARTITION BY {way}{ek} ORDER BY {seq} ASC)),
+closedness AS (SELECT {keys}, MAX(CASE WHEN rn = n AND x = fx AND y = fy
+       THEN 1 ELSE 0 END) AS is_closed FROM o GROUP BY {keys}),
 edges AS (
-  SELECT way_id, x, y, nx, ny FROM o WHERE rn < n
+  SELECT {keys}, x, y, nx, ny FROM o WHERE rn < n
   UNION ALL
-  SELECT o.way_id, o.x, o.y, o.fx AS nx, o.fy AS ny
-  FROM o JOIN closedness c USING (way_id)
+  SELECT {", ".join(f"o.{k}" for k in ["way_id", *extra_keys])},
+         o.x, o.y, o.fx AS nx, o.fy AS ny
+  FROM o JOIN closedness c USING ({keys})
   WHERE o.rn = o.n AND c.is_closed = 0),
-met AS (SELECT way_id,
+met AS (SELECT {keys},
        ABS(CAST(SUM(x * ny - nx * y) AS BIGINT)) AS area2_e6sq,
        CAST(SUM(CAST(FLOOR(SQRT(CAST((nx - x) * (nx - x)
             + (ny - y) * (ny - y) AS DOUBLE))) AS BIGINT)) AS BIGINT) AS perim_floor_e6
-  FROM edges GROUP BY way_id),
-stats AS (SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_parts,
+  FROM edges GROUP BY {keys}),
+stats AS (SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(COUNT(DISTINCT (x, y)) AS BIGINT) AS n_distinct,
        CAST(COUNT(*) + 1 - MAX(CASE WHEN rn = n AND x = fx AND y = fy
             THEN 1 ELSE 0 END) AS BIGINT) AS n_ring_points
-  FROM o GROUP BY way_id)
-SELECT s.way_id, s.n_parts, s.n_ring_points, s.n_distinct,
+  FROM o GROUP BY {keys})
+SELECT {", ".join(f"s.{k}" for k in ["way_id", *extra_keys])},
+       s.n_parts, s.n_ring_points, s.n_distinct,
        m.area2_e6sq, m.perim_floor_e6
-FROM stats s JOIN met m USING (way_id)
+FROM stats s JOIN met m USING ({keys})
 WHERE s.n_distinct >= 3"""

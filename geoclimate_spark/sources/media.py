@@ -1,21 +1,24 @@
 """Multimodal (image/audio/video-shaped) binary columns: synth, decode,
-feature extraction — Spark-side plumbing with stubbed codecs.
+resize, frame-sample — fully functional over a deterministic synthetic
+format.
 
 The graft treats media as opaque ``binary`` columns with typed metadata
 (schema ``doc_id long, media binary, media_type string``), processed by
-Arrow-batched ``mapInPandas`` stages. Real codec libraries (PIL/ffmpeg/…)
-are not in this container, so:
+Arrow-batched ``mapInPandas`` stages:
 
-* the DECODE step that would call a codec is stubbed behind
-  ``NotImplementedError`` (:func:`image_resize`, :func:`frame_sample`) —
-  clearly marked, with the Spark-side contract (schema, batching,
-  partitioning) fully real and tested;
-* a deterministic fake format ("IMG1") makes the surrounding pipeline
-  testable end-to-end: 4-byte magic, u32-LE width, u32-LE height, u16-LE
-  frame count, then a payload of repeated md5 digests. Header fields are
-  pure functions of ``doc_id``, so metadata decoded FROM THE BYTES is
-  verifiable against a pure-SQL oracle — same per-row invariant pattern as
-  the html→text extraction (BASELINE.json input_hint).
+* the deterministic "IMG1" format: 4-byte magic, u32-LE width, u32-LE
+  height, u16-LE frame count, then one 16-byte frame payload per frame
+  (frame k = md5("media:{doc_id}:{k}"), read as a 4×4 u8 grayscale
+  image). Header fields and every payload byte are pure functions of
+  ``doc_id``, so metadata decoded FROM THE BYTES — and every codec
+  OUTPUT byte — is verifiable against a pure-SQL oracle, the same
+  per-row invariant pattern as the html→text extraction
+  (BASELINE.json input_hint);
+* :func:`image_resize` / :func:`frame_sample` are real pure-numpy codecs
+  over that format (nearest-neighbor resample / frame stride) with the
+  binary-in → binary-out, header-rewritten contract a PIL/ffmpeg-backed
+  implementation would honor for real formats — swapping the numpy body
+  for a library call changes nothing upstream or downstream.
 
 Scale: media payloads dominate storage at 10^12 rows — the synth/decode
 stages never shuffle the binary column (metadata is projected out first,
@@ -61,8 +64,16 @@ def media_fields(doc_id: int) -> tuple[int, int, int]:
     return 64 + doc_id % 192, 64 + (doc_id * 7) % 128, 1 + doc_id % 24
 
 
+FRAME_SIDE = 4  # a frame is a 4x4 u8 grayscale image (16 = md5 digest size)
+
+
+def _frame(doc_id: int, k: int) -> bytes:
+    """Frame k's pixel payload: 16 md5 bytes = a 4×4 grayscale image."""
+    return hashlib.md5(f"media:{doc_id}:{k}".encode()).digest()
+
+
 def _payload(doc_id: int, n_frames: int) -> bytes:
-    return hashlib.md5(f"media:{doc_id}".encode()).digest() * n_frames
+    return b"".join(_frame(doc_id, k) for k in range(n_frames))
 
 
 def encode_media(doc_id: int) -> bytes:
@@ -104,13 +115,21 @@ def decode_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(dec, META_SCHEMA)
 
 
+def _frame_byte_sql(id_col: str, frame_sql: str, pos: int) -> str:
+    """SQL for payload byte ``pos`` (0-based) of a given frame — one hex
+    pair of the frame's md5."""
+    return (f"(('0x' || substring(md5(concat('media:', CAST({id_col} AS"
+            f" VARCHAR), ':', CAST({frame_sql} AS VARCHAR))),"
+            f" {2 * pos + 1}, 2))::BIGINT)")
+
+
 def media_metadata_oracle_sql(doc_rel: str = "documents",
                               id_col: str = "doc_id") -> str:
     """Pure-SQL recomputation of what decode_metadata reads from the bytes."""
     w = f"(64 + {id_col} % 192)"
     h = f"(64 + ({id_col} * 7) % 128)"
     nf = f"(1 + {id_col} % 24)"
-    bright = f"(('0x' || substring(md5(concat('media:', CAST({id_col} AS VARCHAR))), 1, 2))::BIGINT)"
+    bright = _frame_byte_sql(id_col, "0", 0)
     return f"""SELECT {id_col} AS doc_id,
        CAST({w} AS BIGINT) AS width,
        CAST({h} AS BIGINT) AS height,
@@ -121,18 +140,166 @@ def media_metadata_oracle_sql(doc_rel: str = "documents",
 FROM {doc_rel}"""
 
 
-# ----------------------------------------------------------- codec stubs
+# --------------------------------------------------------------- codecs
+# Pure-numpy codecs over the synthetic IMG1 format (a frame is a 4×4 u8
+# grayscale image): binary in → binary out, header rewritten — the contract
+# a PIL/ffmpeg-backed implementation would honor for real formats. Every
+# output byte is a pure function of doc_id, so both codecs are verifiable
+# against doc_id-arithmetic SQL oracles (__spark_entry__ media_resize /
+# media_frame_sample queries).
 def image_resize(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — real implementation needs an image codec (PIL/opencv), absent
-    in this container. The mapInPandas contract is identical to
-    decode_metadata: binary in → binary out, header rewritten."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "plug a PIL-based mapInPandas with the same MEDIA_SCHEMA contract")
+    """Nearest-neighbor resample of every frame from FRAME_SIDE² to
+    (width, height); header rewritten, frame count preserved. Arrow-batched
+    mapInPandas; per row the work is one fancy-index gather."""
+    import numpy as np
+
+    side = FRAME_SIDE
+    # dst (i, j) -> src flat index; computed once per call
+    ri = (np.arange(height) * side) // height
+    ci = (np.arange(width) * side) // width
+    flat = (ri[:, None] * side + ci[None, :]).ravel()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for buf in b["media"]:
+                buf = bytes(buf)
+                magic, w0, h0, nf = struct.unpack_from(_HDR_FMT, buf)
+                if magic != MAGIC:
+                    raise ValueError("bad magic")
+                frames = np.frombuffer(
+                    buf, dtype=np.uint8, offset=_HDR_SIZE).reshape(nf, -1)
+                resized = frames[:, flat]
+                out.append(struct.pack(_HDR_FMT, MAGIC, width, height, nf)
+                           + resized.tobytes())
+            yield pd.DataFrame({"doc_id": b["doc_id"], "media": out,
+                                "media_type": b["media_type"]})
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int) -> DataFrame:
-    """STUB — video frame sampling needs ffmpeg; same contract note."""
-    raise NotImplementedError(
-        "video codec not available in this environment; "
-        "plug an ffmpeg-based mapInPandas with the same MEDIA_SCHEMA contract")
+    """Keep frames 0, n, 2n, …; header frame count rewritten. Same
+    binary-in/binary-out mapInPandas contract as :func:`image_resize`."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for buf in b["media"]:
+                buf = bytes(buf)
+                magic, w0, h0, nf = struct.unpack_from(_HDR_FMT, buf)
+                if magic != MAGIC:
+                    raise ValueError("bad magic")
+                fsize = (len(buf) - _HDR_SIZE) // nf if nf else 0
+                kept = [buf[_HDR_SIZE + k * fsize:_HDR_SIZE + (k + 1) * fsize]
+                        for k in range(0, nf, every_n)]
+                out.append(struct.pack(_HDR_FMT, MAGIC, w0, h0, len(kept))
+                           + b"".join(kept))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "media": out,
+                                "media_type": b["media_type"]})
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+RESIZE_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("px_sum_f0", T.LongType()),
+])
+
+
+def resize_stats(media: DataFrame) -> DataFrame:
+    """Decode stats FROM the (resized) bytes: header fields + the exact
+    pixel sum of frame 0 — the oracle recomputes the sum from doc_id
+    arithmetic, so a codec that mangles any pixel fails the hash."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i, buf in zip(b["doc_id"], b["media"]):
+                buf = bytes(buf)
+                magic, w, h, nf = struct.unpack_from(_HDR_FMT, buf)
+                if magic != MAGIC:
+                    raise ValueError(f"bad magic for doc {i}")
+                f0 = np.frombuffer(buf, np.uint8, count=w * h,
+                                   offset=_HDR_SIZE)
+                rows.append((int(i), w, h, nf, len(buf), int(f0.sum())))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in RESIZE_STATS_SCHEMA])
+
+    return media.mapInPandas(run, RESIZE_STATS_SCHEMA)
+
+
+SAMPLE_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("first_brightness", T.LongType()),
+    T.StructField("last_brightness", T.LongType()),
+])
+
+
+def sample_stats(media: DataFrame) -> DataFrame:
+    """Decode stats FROM the (frame-sampled) bytes: kept-frame count +
+    first byte of the first and LAST kept frame — the last-frame byte
+    pins the stride arithmetic against the oracle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i, buf in zip(b["doc_id"], b["media"]):
+                buf = bytes(buf)
+                magic, w, h, nf = struct.unpack_from(_HDR_FMT, buf)
+                if magic != MAGIC:
+                    raise ValueError(f"bad magic for doc {i}")
+                fsize = (len(buf) - _HDR_SIZE) // nf
+                rows.append((int(i), nf, len(buf), buf[_HDR_SIZE],
+                             buf[_HDR_SIZE + (nf - 1) * fsize]))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in SAMPLE_STATS_SCHEMA])
+
+    return media.mapInPandas(run, SAMPLE_STATS_SCHEMA)
+
+
+def media_resize_oracle_sql(width: int, height: int,
+                            doc_rel: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    """doc_id-arithmetic oracle for resize_stats(image_resize(synth)):
+    nearest-neighbor from the 4×4 frame means src byte (r, c) is hit
+    exactly count(r)·count(c) times; the frame-0 pixel sum is the weighted
+    sum of the 16 digest bytes."""
+    side = FRAME_SIDE
+    rcount = [0] * side
+    ccount = [0] * side
+    for i in range(height):
+        rcount[(i * side) // height] += 1
+    for j in range(width):
+        ccount[(j * side) // width] += 1
+    terms = " + ".join(
+        f"{rcount[r] * ccount[c]} * {_frame_byte_sql(id_col, '0', r * side + c)}"
+        for r in range(side) for c in range(side)
+        if rcount[r] * ccount[c] > 0)
+    nf = f"(1 + {id_col} % 24)"
+    return f"""SELECT {id_col} AS doc_id,
+       CAST({width} AS BIGINT) AS width,
+       CAST({height} AS BIGINT) AS height,
+       CAST({nf} AS BIGINT) AS n_frames,
+       CAST(14 + {width * height} * {nf} AS BIGINT) AS n_bytes,
+       CAST({terms} AS BIGINT) AS px_sum_f0
+FROM {doc_rel}"""
+
+
+def media_frame_sample_oracle_sql(every_n: int, doc_rel: str = "documents",
+                                  id_col: str = "doc_id") -> str:
+    nf = f"(1 + {id_col} % 24)"
+    kept = (f"CAST(1 + (({nf} - 1) - ({nf} - 1) % {every_n})"
+            f" / {every_n} AS BIGINT)")
+    last = f"CAST({every_n} * ({kept} - 1) AS BIGINT)"
+    return f"""SELECT {id_col} AS doc_id,
+       CAST({kept} AS BIGINT) AS n_frames,
+       CAST(14 + 16 * {kept} AS BIGINT) AS n_bytes,
+       {_frame_byte_sql(id_col, "0", 0)} AS first_brightness,
+       {_frame_byte_sql(id_col, last, 0)} AS last_brightness
+FROM {doc_rel}"""

@@ -66,13 +66,30 @@ def test_media_roundtrip_vs_oracle(spark, duck):
                                   exp[sorted(exp.columns)], check_dtype=False)
 
 
-def test_media_schema_and_stubs(spark):
+def test_media_schema_and_codecs(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
     m = media.synth_media(docs)
     assert [f.name for f in m.schema.fields] == ["doc_id", "media", "media_type"]
     row = m.where(F.col("doc_id") == 0).collect()[0]
     assert bytes(row.media[:4]) == media.MAGIC
-    with pytest.raises(NotImplementedError):
-        media.image_resize(m, 8, 8)
-    with pytest.raises(NotImplementedError):
-        media.frame_sample(m, 2)
+
+    # resize: header rewritten, every frame resampled to w*h bytes
+    rs = media.image_resize(m, 8, 8).where(F.col("doc_id") == 3).collect()[0]
+    buf = bytes(rs.media)
+    import struct as _s
+    magic, w, h, nf = _s.unpack_from("<4sIIH", buf)
+    _, _, nf0 = media.media_fields(3)
+    assert (w, h, nf) == (8, 8, nf0)
+    assert len(buf) == 14 + 64 * nf0
+    # nearest-neighbor from 4x4 to 8x8 repeats each src byte in a 2x2 block
+    src = media._frame(3, 0)
+    assert buf[14] == buf[15] == src[0]
+    assert buf[14 + 8] == src[0]  # row below maps to the same src row
+
+    # frame stride: keeps frames 0, n, 2n, ... with their own payloads
+    fs = media.frame_sample(m, 2).where(F.col("doc_id") == 3).collect()[0]
+    buf = bytes(fs.media)
+    magic, w, h, nf = _s.unpack_from("<4sIIH", buf)
+    assert nf == 1 + (nf0 - 1) // 2
+    assert buf[14:30] == media._frame(3, 0)
+    assert buf[30:46] == media._frame(3, 2)

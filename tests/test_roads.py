@@ -36,5 +36,5 @@ def test_clip_length_hand_case(spark):
 
 def test_no_axis_parallel_segments():
     rows = roads.synth_roads_rows()
-    for _, x0, y0, x1, y1 in rows:
+    for _, x0, y0, x1, y1, *_attrs in rows:
         assert x1 != x0 and y1 != y0
