@@ -9,6 +9,14 @@ Engine queries run the REAL machinery (Arrow extraction UDFs, covering +
 broadcast PIP join, cell-arithmetic tiling); oracles recompute the same
 answers in pure ANSI SQL from the shared deterministic derivation
 (geoclimate_spark.sources.pages.pages_oracle_sql).
+
+Cache contract: a few base frames (`_zoned_pages`, `_geo_points`, the LOD
+base) call ``.persist()`` because several queries branch off them. Spark's
+CacheManager dedupes by canonicalized plan, so repeated calls reuse one
+entry — but nothing here auto-unpersists. Per-query runners (the driver,
+bench.py, pytest) call ``spark.catalog.clearCache()`` between queries; a
+long-lived session composing many queries should call
+:func:`release_caches` when done with a batch.
 """
 
 from __future__ import annotations
@@ -46,6 +54,13 @@ _PAGES_CTE = f"WITH pages AS (\n{pages_oracle_sql()}\n)"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship.run(spark, "/root/testdata/sf0.001")
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Drop every frame the query helpers persisted (see module docstring).
+    Long-lived sessions call this between query batches; the driver and
+    bench get the same effect from per-query ``clearCache()``."""
+    spark.catalog.clearCache()
 
 
 # --------------------------------------------------------------- engine side
@@ -314,9 +329,11 @@ def _q_zone_classification_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tile_lod(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _geo_points(spark, sf_dir)
+    # persisted: consumed by the res-7 output branch AND the level chain
     base = (g.withColumn("tile_id", tile_op.tile_col(
         F.col("lon_e6"), F.col("lat_e6"), LOD_LEVELS[0]))
-        .groupBy("tile_id").agg(F.count("*").alias("n_pages")))
+        .groupBy("tile_id").agg(F.count("*").alias("n_pages"))
+        .persist())
     lods = tile_op.lod_rollup(base, "tile_id", LOD_LEVELS[0],
                               LOD_LEVELS[0] - LOD_LEVELS[-1],
                               [F.sum("n_pages").alias("n_pages")])
@@ -828,12 +845,23 @@ def _relation_parts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p(1203248318, 97) % 16000001 + 2000000).alias("h"))
     q = lambda c: ((F.col(c) - F.col(c) % 4) / 4).cast("long")
     rel = rel.withColumn("qx", q("w")).withColumn("qy", q("h"))
-    corners = spark.createDataFrame(
-        [(ring, role, seq, cx, cy)
-         for ring, role in ((0, "outer"), (1, "inner"))
-         for seq, (cx, cy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)])],
-        "ring_id long, role string, seq long, cx long, cy long")
-    j = rel.crossJoin(F.broadcast(corners))
+    # constant 8-row corner fanout as a literal array explode (pure
+    # codegen — no join node for a constant-shape expansion)
+    corners = F.array(*[
+        F.struct(F.lit(ring).cast("long").alias("ring_id"),
+                 F.lit(role).alias("role"),
+                 F.lit(seq).cast("long").alias("seq"),
+                 F.lit(cx).cast("long").alias("cx"),
+                 F.lit(cy).cast("long").alias("cy"))
+        for ring, role in ((0, "outer"), (1, "inner"))
+        for seq, (cx, cy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)])])
+    j = (rel.withColumn("_c", F.explode(corners))
+         .select("rel", "x0", "y0", "w", "h", "qx", "qy",
+                 F.col("_c.ring_id").alias("ring_id"),
+                 F.col("_c.role").alias("role"),
+                 F.col("_c.seq").alias("seq"),
+                 F.col("_c.cx").alias("cx"),
+                 F.col("_c.cy").alias("cy")))
     inner = F.col("ring_id") == 1
     x = (F.col("x0") + F.when(inner, F.col("qx")).otherwise(F.lit(0))
          + F.col("cx") * (F.col("w") - F.when(inner, 2 * F.col("qx"))
@@ -1010,7 +1038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_emb_pairs_lsh,
         "event_window_agg": _q_event_windows,
         "event_sessions": _q_event_sessions,
-        "media_metadata": _q_media_metadata,
     }
 
 

@@ -59,18 +59,18 @@ def main() -> None:
     from geoclimate_spark.sources.pages import synth_pages
 
     # the headline runs AFTER 60+ queries: clear caches, one untimed warmup
-    # (JIT/codegen for this plan), then the MEDIAN of 3 timed trials — robust
-    # to the shared host's vCPU-steal spikes without best-of cherry-picking;
-    # all trials are recorded in the artifact
+    # (JIT/codegen for this plan), then the MEDIAN of 5 timed trials — the
+    # round-3 PINNED protocol (median-of-5 warmed, never best-of) — robust
+    # to the shared host's vCPU-steal spikes; all trials are recorded
     spark.catalog.clearCache()
     pages = synth_pages(spark, SYNTH_N, partitions=CPUS * 4)
     n_groups = zone_tile_language_mix(pages).count()  # warmup, untimed
     trials = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         zone_tile_language_mix(pages).count()
         trials.append(round(time.perf_counter() - t0, 3))
-    pipeline_sec = sorted(trials)[1]
+    pipeline_sec = sorted(trials)[len(trials) // 2]
     timings["synth_pipeline"] = round(pipeline_sec, 3)
     print(f"# synth_pipeline: median {pipeline_sec:.2f}s of {trials}, "
           f"{n_groups} groups", file=sys.stderr)
@@ -90,11 +90,43 @@ def main() -> None:
     scaling_path = Path(__file__).parent / "BENCH" / "scaling_latest.json"
     if scaling_path.exists():
         result["scaling"] = json.loads(scaling_path.read_text())
-    # persist the full result so the artifact survives driver stdout
-    # truncation (BENCH_r{N}.json keeps only the tail)
+    # round-over-round comparison (judge protocol): pinned headline numbers
+    # from the prior rounds ride in every artifact so regressions are
+    # self-evident without cross-referencing old files
+    hist_path = Path(__file__).parent / "BENCH" / "round_history.json"
+    if hist_path.exists():
+        result["prev_rounds"] = json.loads(hist_path.read_text())
+    # persist the FULL result so the artifact survives driver stdout
+    # truncation (BENCH_r{N}.json keeps only the final 2000 stdout chars)
     (Path(__file__).parent / "BENCH" / "bench_latest.json").write_text(
         json.dumps(result, indent=2) + "\n")
-    print(json.dumps(result))
+    # the driver parses the LAST stdout line from a 2000-char tail window —
+    # r1/r2 both failed to parse because the one-line artifact outgrew it.
+    # Emit a compact line that always fits: headline + scaling summary +
+    # as many per-query timings as fit (slowest first — the informative end)
+    compact = {k: result[k] for k in (
+        "metric", "value", "unit", "sf", "synth_pages",
+        "throughput_pages_per_sec", "pipeline_trials", "cpus")}
+    if "scaling" in result:
+        s = result["scaling"]
+        compact["scaling"] = {k: s[k] for k in (
+            "n_pages", "cores_small", "cores_big", "throughput_small",
+            "throughput_big", "scaling_efficiency",
+            "median_pair_efficiency", "pass") if k in s}
+    if "prev_rounds" in result:
+        compact["prev_rounds"] = result["prev_rounds"]
+    compact["queries_total"] = len(timings)
+    compact["full_artifact"] = "BENCH/bench_latest.json"
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact["queries"] = {}
+    budget = 1900  # hard driver tail window is 2000
+    for name, sec in by_cost:
+        compact["queries"][name] = sec
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            compact["queries_shown"] = len(compact["queries"])
+            break
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -54,15 +54,30 @@ def overlay_rect_layers(zones: DataFrame, rects: DataFrame,
     zone sub-region with exactly that coverage. combo 0 = covered by none.
     Σ area_e6sq per zone == zone area (invariant, tested).
     """
+    from .covering import bbox_cell_join
+
     layer_idx = {n: i for i, n in enumerate(layer_names)}
-    z, r = zones.alias("z"), F.broadcast(rects).alias("r")
-    # candidate join: rect overlaps zone (layers are the small side)
-    cand = (z.join(r, (F.col("r.lon0") < F.col("z.zlon1"))
-                   & (F.col("r.lon1") > F.col("z.zlon0"))
-                   & (F.col("r.lat0") < F.col("z.zlat1"))
-                   & (F.col("r.lat1") > F.col("z.zlat0")), "left")
-            .select("zone_id", "zlon0", "zlat0", "zlon1", "zlat1",
-                    "layer", "lon0", "lat0", "lon1", "lat1"))
+    # candidate join: rect overlaps zone, via the cell-keyed covering
+    # equi-join (closed-touch superset, strict refine below); zones with
+    # no overlapping rect are added back with NULL layer columns so every
+    # zone still emits its combo-0 atom (the former LEFT join contract)
+    cols = ["zone_id", "zlon0", "zlat0", "zlon1", "zlat1",
+            "layer", "lon0", "lat0", "lon1", "lat1"]
+    inner = (bbox_cell_join(zones, ("zlon0", "zlat0", "zlon1", "zlat1"),
+                            rects, ("lon0", "lat0", "lon1", "lat1"),
+                            broadcast_b=True)
+             .where((F.col("lon0") < F.col("zlon1"))
+                    & (F.col("lon1") > F.col("zlon0"))
+                    & (F.col("lat0") < F.col("zlat1"))
+                    & (F.col("lat1") > F.col("zlat0")))
+             .select(*cols))
+    empty = (zones.join(inner.select("zone_id").distinct(), "zone_id",
+                        "left_anti")
+             .select("zone_id", "zlon0", "zlat0", "zlon1", "zlat1",
+                     F.lit(None).cast("string").alias("layer"),
+                     *[F.lit(None).cast("long").alias(c)
+                       for c in ("lon0", "lat0", "lon1", "lat1")]))
+    cand = inner.unionByName(empty)
 
     def run(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for g in groups:
@@ -219,18 +234,21 @@ def ground_layer(zones: DataFrame, rects: DataFrame, layer_names: list[str],
     """
     from pyspark.sql import Window
 
+    from .covering import bbox_cell_join
+
     z = zones.select("zone_id", "zlon0", "zlat0", "zlon1", "zlat1")
-    r = F.broadcast(rects).alias("r")
-    cand = (z.alias("z").join(
-        r, (F.col("r.lon0") < F.col("z.zlon1"))
-        & (F.col("r.lon1") > F.col("z.zlon0"))
-        & (F.col("r.lat0") < F.col("z.zlat1"))
-        & (F.col("r.lat1") > F.col("z.zlat0")))
-        .select(F.col("z.zone_id").alias("zone_id"), F.col("r.layer").alias("layer"),
-                F.greatest("r.lon0", "z.zlon0").alias("rx0"),
-                F.greatest("r.lat0", "z.zlat0").alias("ry0"),
-                F.least("r.lon1", "z.zlon1").alias("rx1"),
-                F.least("r.lat1", "z.zlat1").alias("ry1")))
+    cand = (bbox_cell_join(z, ("zlon0", "zlat0", "zlon1", "zlat1"),
+                           rects, ("lon0", "lat0", "lon1", "lat1"),
+                           broadcast_b=True)
+            .where((F.col("lon0") < F.col("zlon1"))
+                   & (F.col("lon1") > F.col("zlon0"))
+                   & (F.col("lat0") < F.col("zlat1"))
+                   & (F.col("lat1") > F.col("zlat0")))
+            .select("zone_id", "layer",
+                    F.greatest("lon0", "zlon0").alias("rx0"),
+                    F.greatest("lat0", "zlat0").alias("ry0"),
+                    F.least("lon1", "zlon1").alias("rx1"),
+                    F.least("lat1", "zlat1").alias("ry1")))
 
     def cells(edge_union: DataFrame, lo: str, hi: str) -> DataFrame:
         w = Window.partitionBy("zone_id").orderBy("v")

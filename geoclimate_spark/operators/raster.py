@@ -15,11 +15,11 @@ cell id by an LCG — no external data. Rect zone × rect cell intersection
 areas are then exact bigint products, so every weighted statistic is
 bit-identical to the DuckDB oracle with zero rounding.
 
-Scale: the zone dim (72 rows) broadcasts against the raster; for planetary
-rasters at fine resolution the broadcast flips (cells join zones via the
-covering index of operators/spatial_join.py instead) — same semantics, the
-crossJoin here is the small-dim special case the reference also assumes
-(one raster per zone batch, `WorldPopExtract.groovy:43-77`).
+Scale: raster×zone candidates come from the cell-keyed covering equi-join
+(operators/covering.py) — the zone dim is broadcast at fixture size, but
+the join stays a hash join on the covering cell when both sides grow
+planetary (no nested-loop shape anywhere in the plan, asserted by
+tests/test_plans_guard.py).
 """
 
 from __future__ import annotations
@@ -109,11 +109,16 @@ def zone_bounds_values_sql() -> str:
 def raster_zonal_stats(raster: DataFrame, zones: DataFrame) -> DataFrame:
     """Area-weighted zonal apportioning of raster values onto rect zones:
     (zone_id, wmean_value, total_weighted, overlap_e6sq, n_cells).
-    Overlap areas are exact bigint µ°² products."""
-    r, z = raster.alias("r"), F.broadcast(zones).alias("z")
-    ox = F.least(F.col("r.lon1_e6"), F.col("z.zlon1")) - F.greatest(F.col("r.lon0_e6"), F.col("z.zlon0"))
-    oy = F.least(F.col("r.lat1_e6"), F.col("z.zlat1")) - F.greatest(F.col("r.lat0_e6"), F.col("z.zlat0"))
-    j = (r.crossJoin(z)
+    Overlap areas are exact bigint µ°² products. Candidates come from the
+    cell-keyed covering equi-join (operators/covering.py) — scales to
+    planetary rasters × planetary zone sets without a nested-loop join."""
+    from .covering import bbox_cell_join
+
+    ox = F.least(F.col("lon1_e6"), F.col("zlon1")) - F.greatest(F.col("lon0_e6"), F.col("zlon0"))
+    oy = F.least(F.col("lat1_e6"), F.col("zlat1")) - F.greatest(F.col("lat0_e6"), F.col("zlat0"))
+    j = (bbox_cell_join(raster, ("lon0_e6", "lat0_e6", "lon1_e6", "lat1_e6"),
+                        zones, ("zlon0", "zlat0", "zlon1", "zlat1"),
+                        broadcast_b=True)
          .withColumn("_w", F.when((ox > 0) & (oy > 0), ox * oy).otherwise(F.lit(0)))
          .where(F.col("_w") > 0))
     agg = j.groupBy("zone_id").agg(
@@ -149,12 +154,16 @@ def intersect_pair_areas(zones: DataFrame, rects: DataFrame,
                          rect_id: str = "rect_id") -> DataFrame:
     """spatialJoin mode C (`SpatialUnits.groovy:531-538`): every intersecting
     (zone, rect) pair with its shared area — the all-relations join that
-    feeds area-weighted rollups. Exact bigint µ°² overlaps.
+    feeds area-weighted rollups. Exact bigint µ°² overlaps; candidates via
+    the cell-keyed covering equi-join (operators/covering.py).
     ``rects``: ({rect_id}, lon0, lat0, lon1, lat1)."""
-    z, r = F.broadcast(zones).alias("z"), rects.alias("r")
-    ox = F.least(F.col("r.lon1"), F.col("z.zlon1")) - F.greatest(F.col("r.lon0"), F.col("z.zlon0"))
-    oy = F.least(F.col("r.lat1"), F.col("z.zlat1")) - F.greatest(F.col("r.lat0"), F.col("z.zlat0"))
-    return (r.crossJoin(z)
+    from .covering import bbox_cell_join
+
+    ox = F.least(F.col("lon1"), F.col("zlon1")) - F.greatest(F.col("lon0"), F.col("zlon0"))
+    oy = F.least(F.col("lat1"), F.col("zlat1")) - F.greatest(F.col("lat0"), F.col("zlat0"))
+    return (bbox_cell_join(rects, ("lon0", "lat0", "lon1", "lat1"),
+                           zones, ("zlon0", "zlat0", "zlon1", "zlat1"),
+                           broadcast_b=True)
             .withColumn("area_e6sq",
                         F.when((ox > 0) & (oy > 0), ox * oy).otherwise(F.lit(0)))
             .where(F.col("area_e6sq") > 0)

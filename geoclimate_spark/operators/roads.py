@@ -120,11 +120,25 @@ def _clip_frac_sql() -> tuple[str, str]:
     return t_enter, t_exit
 
 
+def _road_zone_candidates(roads: DataFrame, zones: DataFrame) -> DataFrame:
+    """(road × zone) candidate pairs whose bboxes touch — the cell-keyed
+    covering equi-join (operators/covering.py), never a cross join. The
+    segment's y-bbox uses least/greatest because dy may be negative."""
+    from .covering import bbox_cell_join
+
+    r = roads.withColumn("_by0", F.least("y0", "y1")).withColumn(
+        "_by1", F.greatest("y0", "y1"))
+    return (bbox_cell_join(r, ("x0", "_by0", "x1", "_by1"),
+                           zones, ("zlon0", "zlat0", "zlon1", "zlat1"),
+                           broadcast_b=True)
+            .drop("_by0", "_by1"))
+
+
 def road_zone_stats(roads: DataFrame, zones: DataFrame) -> DataFrame:
     """Per-zone: clipped road length (µ° units), linear density, length per
     octant direction bin. Returns
     (zone_id, total_len, lin_density, dir0..dir7)."""
-    j = roads.crossJoin(F.broadcast(zones))
+    j = _road_zone_candidates(roads, zones)
     t_enter, t_exit = _clip_frac_cols()
     seg_len = F.sqrt(((F.col("x1") - F.col("x0")) * (F.col("x1") - F.col("x0"))
                       + (F.col("y1") - F.col("y0")) * (F.col("y1") - F.col("y0"))
@@ -185,7 +199,7 @@ def road_zone_stats_by_level(roads: DataFrame, zones: DataFrame) -> DataFrame:
     per (zone, zindex) clipped length + linear density. Same Liang–Barsky
     clip and per-row milli-rounding as :func:`road_zone_stats`; one extra
     grouping key, identical shuffle budget."""
-    j = roads.crossJoin(F.broadcast(zones))
+    j = _road_zone_candidates(roads, zones)
     t_enter, t_exit = _clip_frac_cols()
     seg_len = F.sqrt(((F.col("x1") - F.col("x0")) * (F.col("x1") - F.col("x0"))
                       + (F.col("y1") - F.col("y0")) * (F.col("y1") - F.col("y0"))

@@ -45,12 +45,21 @@ def lod_rollup(df: DataFrame, cell_col_name: str, child_res: int, levels: int,
     exact containment, so rollups are loss-free re-aggregations (unlike H3's
     approximate child nesting). Aggs must be algebraic (sum/count/min/max) for
     map-side partial aggregation.
+
+    Each level re-aggregates the PREVIOUS level (res r-1 from res r), not
+    the base — sums of sums are exact, every level's input is 2-4× smaller
+    than the last, and a multi-level union does not re-scan the base once
+    per level (the r2 tile_lod_rollup regression). Aggs must therefore be
+    IDEMPOTENT under re-application to their own output (sum/min/max with
+    matching in/out column names).
     """
     out = {}
+    prev, prev_res, prev_key = df, child_res, cell_col_name
     for i in range(1, levels + 1):
         pres = child_res - i
-        parent = grid.parent_col(F.col(cell_col_name), pres, child_res).alias("cell")
-        out[pres] = df.groupBy(parent).agg(*aggs)
+        parent = grid.parent_col(F.col(prev_key), pres, prev_res).alias("cell")
+        out[pres] = prev.groupBy(parent).agg(*aggs)
+        prev, prev_res, prev_key = out[pres], pres, "cell"
     return out
 
 
@@ -158,22 +167,34 @@ def largest_overlap_tile(spark, zones_df: DataFrame, res: int = TILE_RES) -> Dat
     bit-identical to the SQL oracle.
 
     ``zones_df``: (zone_id, zlon0, zlat0, zlon1, zlat1) integer µ° bounds
-    (operators/raster.py::zone_bounds_df). Candidate generation is a
-    broadcast crossJoin against the res-grid (small-dim case); at planetary
-    zone counts swap in the bbox covering index of spatial_join.py.
+    (operators/raster.py::zone_bounds_df). Each zone EXPLODES directly
+    into the tiles its bbox overlaps (exact integer range arithmetic) —
+    no grid table, no cross join; candidate count = the zone's true tile
+    cover, so the operator scales with Σ cover sizes, not zones × tiles.
     Returns (zone_id, tile_id, overlap_e6sq).
     """
     from pyspark.sql import Window
 
-    from .raster import grid_cells_df
-    cells = grid_cells_df(spark, res)
-    z, c = F.broadcast(zones_df).alias("z"), cells.alias("c")
-    ox = F.least(F.col("c.lon1_e6"), F.col("z.zlon1")) - F.greatest(F.col("c.lon0_e6"), F.col("z.zlon0"))
-    oy = F.least(F.col("c.lat1_e6"), F.col("z.zlat1")) - F.greatest(F.col("c.lat0_e6"), F.col("z.zlat0"))
+    from .raster import _check_res
+    nx, ny, w = _check_res(res)
+
+    # positive-overlap tile range per axis: x in [floor(A0/w), floor((A1-1)/w)]
+    def rng(lo: str, hi: str, off: int):
+        a0 = F.col(lo) + F.lit(off)
+        a1 = F.col(hi) + F.lit(off) - 1
+        idiv = lambda a: ((a - a % w) / w).cast("long")
+        return F.sequence(idiv(a0), idiv(a1))
+
+    z = zones_df
+    j = (z.withColumn("_x", F.explode(rng("zlon0", "zlon1", 180_000_000)))
+         .withColumn("_y", F.explode(rng("zlat0", "zlat1", 90_000_000))))
+    ox = (F.least((F.col("_x") + 1) * w - 180_000_000, F.col("zlon1"))
+          - F.greatest(F.col("_x") * w - 180_000_000, F.col("zlon0")))
+    oy = (F.least((F.col("_y") + 1) * w - 90_000_000, F.col("zlat1"))
+          - F.greatest(F.col("_y") * w - 90_000_000, F.col("zlat0")))
     packed = (F.lit(res).cast("long") * F.lit(1 << 58)
-              + F.col("c.x") * F.lit(1 << 29) + F.col("c.y")).cast("long")
-    j = (c.crossJoin(z)
-         .withColumn("_w", F.when((ox > 0) & (oy > 0), ox * oy).otherwise(F.lit(0)))
+              + F.col("_x") * F.lit(1 << 29) + F.col("_y")).cast("long")
+    j = (j.withColumn("_w", F.when((ox > 0) & (oy > 0), ox * oy).otherwise(F.lit(0)))
          .where(F.col("_w") > 0)
          .select("zone_id", packed.alias("tile_id"), F.col("_w").alias("overlap_e6sq")))
     win = Window.partitionBy("zone_id").orderBy(F.col("overlap_e6sq").desc(),

@@ -90,3 +90,21 @@ def test_temporal_and_polygon_join_plans(spark):
     asof_plan = _plan(E.queries()["event_asof_value"](spark, SF))
     assert "Join" not in asof_plan
     assert asof_plan.count("Window") >= 1
+
+
+def test_covering_join_sites_no_nested_loop(spark):
+    """Round-3: the former crossJoin(broadcast(dim)) sites — roads×zones,
+    raster×zones, rects×zones, zone→tile mode-B — now ride the cell-keyed
+    covering equi-join. No cartesian / BNLJ anywhere in their plans."""
+    import __spark_entry__ as E
+    for name in ("road_zone_stats", "road_zone_stats_zindex",
+                 "raster_zonal_stats", "zone_rect_pair_areas",
+                 "zone_tile_assignment_modeb", "tile_boundary_distance",
+                 "tile_neighbor_smoothing", "roof_area_distribution_gable",
+                 "relation_assembly", "road_traffic",
+                 "ground_acoustic_absorption", "zone_inverse_cover",
+                 "zone_ground_layer"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
