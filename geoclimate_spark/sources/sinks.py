@@ -50,3 +50,41 @@ def save_tables(tables: dict[str, DataFrame], out_dir: str | Path,
             raise ValueError(f"unsupported format: {fmt}")
         paths[name] = str(p)
     return paths
+
+
+def save_to_catalog(tables: dict[str, DataFrame], database: str,
+                    location: str | Path | None = None,
+                    bucket_by: dict[str, tuple[int, list[str]]] | None = None,
+                    ) -> dict[str, str]:
+    """Catalog/DB export — the `WorkflowOSM.groovy:988,1213` batched DB-sink
+    analogue (reference exports result tables into a named PostGIS/H2GIS
+    database; the Spark-native equivalent is the session catalog, backed by
+    Hive metastore / Iceberg REST on a real cluster, spark-warehouse here).
+
+    Each DataFrame becomes ``database.name`` via an atomic snapshot
+    overwrite (``saveAsTable`` mode=overwrite). ``bucket_by[name] =
+    (n_buckets, cols)`` writes that table BUCKETED — downstream equi-joins
+    and aggregations on the bucket columns read co-located data and skip
+    the shuffle entirely (the scale lever file sinks can't offer; only the
+    catalog records bucketing metadata). Returns {name: qualified_name}.
+    """
+    if not tables:
+        return {}
+    spark = next(iter(tables.values())).sparkSession
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+    out = {}
+    for name, df in tables.items():
+        qual = f"{database}.{name}"
+        w = df.write.mode("overwrite").format("parquet")
+        if bucket_by and name in bucket_by:
+            n, cols = bucket_by[name]
+            w = w.bucketBy(n, *cols).sortBy(*cols)
+        w.saveAsTable(qual)
+        out[name] = qual
+    return out
+
+
+def load_from_catalog(spark, database: str, name: str) -> DataFrame:
+    """Read-back of a catalog snapshot (time-travel read under Iceberg)."""
+    return spark.table(f"{database}.{name}")

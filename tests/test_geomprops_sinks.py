@@ -40,3 +40,36 @@ def test_csv_budget_enforced(spark, tmp_path):
     df = spark.range(50)
     with pytest.raises(ValueError, match="budget"):
         sinks.save_tables({"big": df}, tmp_path, fmt="csv", csv_row_budget=10)
+
+
+def test_catalog_sink_roundtrip_and_bucketing(spark, tmp_path):
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 13).alias("v"))
+    dim = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp"))
+    qual = sinks.save_to_catalog(
+        {"facts": df, "dims": dim}, "gc_test_db", location=str(tmp_path),
+        bucket_by={"facts": (4, ["k"]), "dims": (4, ["k"])})
+    assert qual == {"facts": "gc_test_db.facts", "dims": "gc_test_db.dims"}
+    back = sinks.load_from_catalog(spark, "gc_test_db", "facts")
+    assert back.count() == 200
+    assert {r.k for r in back.collect()} == set(range(200))
+
+    # bucketed co-located equi-join: no shuffle (Exchange) on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = sinks.load_from_catalog(spark, "gc_test_db", "facts").join(
+            sinks.load_from_catalog(spark, "gc_test_db", "dims"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+    # snapshot overwrite: same name, new contents, no duplication
+    df2 = spark.range(50).select(F.col("id").alias("k"),
+                                 F.lit(0).cast("long").alias("v"))
+    sinks.save_to_catalog({"facts": df2}, "gc_test_db", location=str(tmp_path))
+    assert sinks.load_from_catalog(spark, "gc_test_db", "facts").count() == 50
+    spark.sql("DROP DATABASE gc_test_db CASCADE")
