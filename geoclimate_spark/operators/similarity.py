@@ -519,3 +519,107 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY cos DESC, {id_col} ASC) AS rank FROM cand)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, cos
 FROM ranked WHERE rank <= {k}"""
+
+
+def table_plane_coeffs(n_tables: int, n_planes: int,
+                       dim: int) -> list[list[list[float]]]:
+    """Independent ±1 plane sets for multi-TABLE LSH. Table 0 is exactly
+    :func:`plane_coeffs` (so table-0 buckets equal the single-table
+    operators'); tables >= 1 salt the hash with the table id."""
+    out = [plane_coeffs(n_planes, dim)]
+    for t in range(1, n_tables):
+        rows = []
+        for p in range(n_planes):
+            row = []
+            for d in range(dim):
+                h = int(hashlib.md5(
+                    f"t{t}:plane{p}:{d}".encode()).hexdigest()[:15], 16)
+                row.append(float((h & 1) * 2 - 1))
+            rows.append(row)
+        out.append(rows)
+    return out
+
+
+N_TABLES = 3
+
+
+def lsh_topk_multitable(emb: DataFrame, query_ids: list[int], k: int = 5,
+                        n_planes: int = N_PLANES, dim: int = 64,
+                        n_tables: int = N_TABLES, probe_radius: int = 1,
+                        id_col: str = "vec_id",
+                        vec: str = "embedding") -> DataFrame:
+    """Multi-TABLE multi-probe LSH top-k: ``n_tables`` independent
+    hyperplane sets, each probed within Hamming distance ``probe_radius``.
+    A true neighbor is missed only if it falls outside the probe radius in
+    EVERY table — misses are (1-r)^L instead of (1-r), the standard
+    recall lever beyond multi-probe alone. Measured vs exact top-k on the
+    sf0.01 fixture (6 planes): single-probe 0.05, multiprobe r1/r2
+    0.175/0.425, 3 tables r1 0.750, 3 tables r2 0.975, 5 tables r2 1.0.
+
+    Scale shape: the corpus is stored ``n_tables`` times, partitioned by
+    (table, bucket) — the classic LSH space/recall trade (Iceberg: one
+    table partitioned by (tbl, bucket); each probe is a partition-pruned
+    scan). Queries fan out n_tables x probes on the broadcast side only;
+    candidates meet in one hash equi-join on (tbl, bucket) and dedup
+    BEFORE the exact rerank. Same output schema/tie-break as cosine_topk.
+    """
+    tables = table_plane_coeffs(n_tables, n_planes, dim)
+    base = _with_norm(emb, id_col, vec)
+    buckets = F.array(*[_bucket_col(F.col("v"), c) for c in tables])
+    corpus = base.select(
+        "id", "v", "nrm",
+        F.posexplode(buckets).alias("tbl", "bucket"))
+    masks = _probe_masks(n_planes, probe_radius)
+    probes = F.array(*[
+        F.struct(F.lit(t).cast("int").alias("tbl"),
+                 F.element_at(F.col("_bks"), t + 1)
+                 .bitwiseXOR(F.lit(m)).alias("bucket"))
+        for t in range(n_tables) for m in masks])
+    q = F.broadcast(
+        base.where(F.col("id").isin(query_ids))
+        .withColumn("_bks", buckets)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"), F.explode(probes).alias("_p"))
+        .select("query_id", "qv", "qn",
+                F.col("_p.tbl").alias("tbl"), F.col("_p.bucket").alias("bucket")))
+    cand = (q.join(corpus, ["tbl", "bucket"])
+            .where(F.col("id") != F.col("query_id"))
+            .select("query_id", F.col("id").alias(id_col),
+                    (_dot(F.col("qv"), F.col("v"))
+                     / (F.col("qn") * F.col("nrm"))).alias("cos"))
+            .distinct())
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col(id_col).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    id_col, "cos"))
+
+
+def lsh_topk_multitable_sql(query_ids: list[int], k: int = 5,
+                            n_planes: int = N_PLANES, dim: int = 64,
+                            n_tables: int = N_TABLES, probe_radius: int = 1,
+                            rel: str = "embeddings", id_col: str = "vec_id",
+                            vec: str = "embedding") -> str:
+    tables = table_plane_coeffs(n_tables, n_planes, dim)
+    ids = ", ".join(str(i) for i in query_ids)
+    nrm = _DOT_SQL.format(a=vec, b=vec)
+    arms = "\nUNION ALL ".join(
+        f"SELECT {id_col} AS id, {vec}, SQRT({nrm}) AS nrm, "
+        f"CAST({t} AS INT) AS tbl, {_bucket_sql(vec, c)} AS bucket FROM {rel}"
+        for t, c in enumerate(tables))
+    masks = ", ".join(f"({m})"
+                      for m in _probe_masks(n_planes, probe_radius))
+    return f"""WITH tb AS ({arms}),
+probes AS (SELECT q.id AS query_id, q.{vec} AS qv, q.nrm AS qn,
+       q.tbl, xor(q.bucket, m.m) AS bucket
+  FROM tb q CROSS JOIN (VALUES {masks}) AS m(m)
+  WHERE q.id IN ({ids})),
+cand AS (SELECT DISTINCT p.query_id, c.id AS {id_col},
+         {_DOT_SQL.format(a='p.qv', b='c.' + vec)} / (p.qn * c.nrm) AS cos
+  FROM probes p JOIN tb c ON c.tbl = p.tbl AND c.bucket = p.bucket
+  WHERE c.id != p.query_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, {id_col} ASC) AS rank FROM cand)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, cos
+FROM ranked WHERE rank <= {k}"""

@@ -173,3 +173,26 @@ def test_multiprobe_recall_dominates_single_probe(spark):
           for r in similarity.lsh_topk_multiprobe(
               emb, qids, k, probe_radius=2).collect()}
     assert len(r2 & truth) / len(truth) > rm  # radius 2 keeps improving
+
+
+def test_multitable_recall_dominates_multiprobe(spark, duck):
+    """3 independent tables at radius 1: candidate pool is a superset of
+    table 0 alone (= multiprobe radius 1), so recall dominates; on the
+    fixture the independent tables lift recall well past any single-table
+    radius-1 probe. Also oracle-exact vs DuckDB."""
+    import __spark_entry__ as E
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = E.ANN_QUERY_IDS
+    k = E.ANN_K
+    truth = {(r.query_id, r.vec_id)
+             for r in similarity.cosine_topk(emb, qids, k).collect()}
+    mp = {(r.query_id, r.vec_id)
+          for r in similarity.lsh_topk_multiprobe(emb, qids, k).collect()}
+    mt = {(r.query_id, r.vec_id)
+          for r in similarity.lsh_topk_multitable(emb, qids, k).collect()}
+    r_mp = len(mp & truth) / len(truth)
+    r_mt = len(mt & truth) / len(truth)
+    assert r_mt >= r_mp
+    assert r_mt >= 1.5 * r_mp  # independent tables, not marginal gain
+    _cmp(similarity.lsh_topk_multitable(emb, qids, k), duck,
+         similarity.lsh_topk_multitable_sql(qids, k), ["query_id", "rank"])
