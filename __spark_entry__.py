@@ -247,6 +247,14 @@ def _q_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ANN_QUERY_IDS, ANN_K)
 
 
+def _q_ann_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing each query's 3 nearest centroid lists (nprobe=3) —
+    the standard IVF recall lever over single-probe ann_topk_ivf; probe
+    fan-out on the broadcast query side only, lists partition-pruned."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K,
+                               nprobe=3)
+
+
 def _q_ann_lsh_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-TABLE multi-probe LSH top-k — 3 independent plane sets, each
     probed at Hamming radius 1; misses go as (1-r)^3 (recall lever beyond
@@ -996,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "media_metadata": _q_media_metadata,  # payload format changed (r3)
         "ann_topk_lsh_multitable": _q_ann_lsh_mt,  # new in r3
+        "ann_topk_ivf_multiprobe": _q_ann_ivf_mp,  # new in r3
         "smbr_direction_distribution": _q_smbr_direction,  # gcd tie-break (r3)
         "tile_lod_rollup": _q_tile_lod,
         # -- block 3: stable but load-bearing (keep inside the window) --
@@ -1163,6 +1172,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             ANN_QUERY_IDS, ANN_K),
         "ann_topk_lsh_multitable": similarity.lsh_topk_multitable_sql(
             ANN_QUERY_IDS, ANN_K),
+        "ann_topk_ivf_multiprobe": similarity.ivf_topk_sql(
+            ANN_QUERY_IDS, ANN_K, nprobe=3),
         "embedding_near_dup": similarity.cosine_pairs_sql(EMB_DUP_T),
         "embedding_near_dup_lsh": similarity.cosine_pairs_lsh_sql(EMB_DUP_T),
         "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),

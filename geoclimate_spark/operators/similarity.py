@@ -361,22 +361,45 @@ def _centroid_sql(vec: str, cents: list[list[float]]) -> str:
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = N_CENTROIDS, dim: int = 64,
+             nprobe: int = 1,
              id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
-    """IVF(-flat, single-probe) top-k: vectors are assigned to their
-    max-dot-product centroid; a query scans only its own inverted list. At
-    corpus scale the list assignment is the Iceberg partition key, so a
-    probe is a partition-pruned scan. Same output schema as cosine_topk."""
+    """IVF(-flat) top-k: vectors are assigned to their max-dot-product
+    centroid; a query scans its ``nprobe`` nearest inverted lists (ranked
+    by centroid dot product, lowest-index tie-break — the standard IVF
+    recall lever; nprobe=1 is the classic single-probe). At corpus scale
+    the list assignment is the Iceberg partition key, so every probe is a
+    partition-pruned scan; the probe fan-out rides the broadcast query
+    side only. Same output schema as cosine_topk."""
     cents = centroid_coeffs(n_centroids, dim)
     base = (_with_norm(emb, id_col, vec)
             .withColumn("cluster", _centroid_col(F.col("v"), cents)))
-    q = F.broadcast(base.where(F.col("id").isin(query_ids))
-                    .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
-                            F.col("nrm").alias("qn"), "cluster"))
+    qside = base.where(F.col("id").isin(query_ids))
+    if nprobe <= 1:
+        q = qside.select(F.col("id").alias("query_id"),
+                         F.col("v").alias("qv"),
+                         F.col("nrm").alias("qn"), "cluster")
+    else:
+        # per-centroid dots (bit-identical to the SQL arms), ranked per
+        # query by (dot DESC, centroid ASC); keep the top nprobe lists
+        dots = F.array(*[_dot(F.col("v"), F.array(*[F.lit(x) for x in row]))
+                         for row in cents])
+        pw = Window.partitionBy("query_id").orderBy(
+            F.col("_dot").desc(), F.col("cluster").asc())
+        q = (qside.select(F.col("id").alias("query_id"),
+                          F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+                          F.posexplode(dots).alias("cluster", "_dot"))
+             .withColumn("_pr", F.row_number().over(pw))
+             .where(F.col("_pr") <= nprobe)
+             .select("query_id", "qv", "qn",
+                     F.col("cluster").cast("long").alias("cluster")))
+    q = F.broadcast(q)
     cand = (q.join(base, "cluster")
             .where(F.col("id") != F.col("query_id"))
             .select("query_id", F.col("id").alias(id_col),
                     (_dot(F.col("qv"), F.col("v"))
                      / (F.col("qn") * F.col("nrm"))).alias("cos")))
+    if nprobe > 1:
+        cand = cand.distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col(id_col).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -387,18 +410,34 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
 def ivf_topk_sql(query_ids: list[int], k: int = 5,
                  n_centroids: int = N_CENTROIDS, dim: int = 64,
+                 nprobe: int = 1,
                  rel: str = "embeddings", id_col: str = "vec_id",
                  vec: str = "embedding") -> str:
     cents = centroid_coeffs(n_centroids, dim)
     ids = ", ".join(str(i) for i in query_ids)
     nrm = _DOT_SQL.format(a=vec, b=vec)
     cluster = _centroid_sql(vec, cents)
+    if nprobe <= 1:
+        probe_cte = f"""probes AS (SELECT id AS query_id, {vec} AS qv,
+       nrm AS qn, cluster FROM base WHERE id IN ({ids}))"""
+    else:
+        arms = "\nUNION ALL ".join(
+            f"SELECT id AS query_id, {vec} AS qv, nrm AS qn, "
+            f"CAST({i} AS BIGINT) AS cluster, "
+            f"{_DOT_SQL.format(a=vec, b='[' + ', '.join(repr(x) for x in row) + ']')} AS dot "
+            f"FROM base WHERE id IN ({ids})"
+            for i, row in enumerate(cents))
+        probe_cte = f"""qdots AS ({arms}),
+probes AS (SELECT query_id, qv, qn, cluster FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY dot DESC, cluster ASC) AS pr FROM qdots)
+  WHERE pr <= {nprobe})"""
     return f"""WITH base AS (SELECT {id_col} AS id, {vec}, SQRT({nrm}) AS nrm,
        {cluster} AS cluster FROM {rel}),
-cand AS (SELECT q.id AS query_id, c.id AS {id_col},
-         {_DOT_SQL.format(a='q.' + vec, b='c.' + vec)} / (q.nrm * c.nrm) AS cos
-  FROM base q JOIN base c ON c.cluster = q.cluster AND c.id != q.id
-  WHERE q.id IN ({ids})),
+{probe_cte},
+cand AS (SELECT DISTINCT q.query_id, c.id AS {id_col},
+         {_DOT_SQL.format(a='q.qv', b='c.' + vec)} / (q.qn * c.nrm) AS cos
+  FROM probes q JOIN base c ON c.cluster = q.cluster AND c.id != q.query_id),
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY cos DESC, {id_col} ASC) AS rank FROM cand)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, cos
