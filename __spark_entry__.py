@@ -37,7 +37,7 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         griddist, knn, noise,
                                         overlay, polygon_overlay, repetition,
                                         smbr, raster, roads, similarity,
-                                        windows, zonal)
+                                        skew, windows, zonal)
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
@@ -341,6 +341,27 @@ def _q_zone_classification_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _zone_features(spark, sf_dir).select(
         "zone_id", "avg_chars", "nb_dens_chars")
     return classify.classify_tree_ensemble(feats, ["zone_id"], RF_TREES)
+
+
+def _q_skewed_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the skewed per-tile page
+    distribution (north rule: dense urban cells dominate their shuffle
+    partition). The ORACLE is the plain single-phase GROUP BY — so the
+    driver hash-checks the salting invariant salted == unsalted
+    end-to-end, not just in pytest."""
+    g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
+    t = (g.withColumn("chars", F.length("text_extracted").cast("long"))
+         .withColumn("tile_id", tile_op.tile_col(
+             F.col("lon_e6"), F.col("lat_e6"), TILE_RES)))
+    out = skew.salted_agg(
+        t, ["tile_id"],
+        {"n_pages": ("*", F.count, F.sum),
+         "total_chars": ("chars", F.sum, F.sum),
+         "max_chars": ("chars", F.max, F.max)},
+        n_salts=8, id_col="page_id")
+    return out.select("tile_id", F.col("n_pages").cast("long").alias("n_pages"),
+                      F.col("total_chars").cast("long").alias("total_chars"),
+                      F.col("max_chars").cast("long").alias("max_chars"))
 
 
 def _q_tile_lod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,  # payload format changed (r3)
         "ann_topk_lsh_multitable": _q_ann_lsh_mt,  # new in r3
         "ann_topk_ivf_multiprobe": _q_ann_ivf_mp,  # new in r3
+        "skewed_tile_counts_salted": _q_skewed_tile_counts,  # new in r3
         "smbr_direction_distribution": _q_smbr_direction,  # gcd tie-break (r3)
         "tile_lod_rollup": _q_tile_lod,
         # -- block 3: stable but load-bearing (keep inside the window) --
@@ -1174,6 +1196,12 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             ANN_QUERY_IDS, ANN_K),
         "ann_topk_ivf_multiprobe": similarity.ivf_topk_sql(
             ANN_QUERY_IDS, ANN_K, nprobe=3),
+        "skewed_tile_counts_salted": f"""{_PAGES_CTE}
+SELECT CAST({tile} AS BIGINT) AS tile_id, COUNT(*) AS n_pages,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars
+FROM pages WHERE lon_e6 IS NOT NULL
+GROUP BY 1""",
         "embedding_near_dup": similarity.cosine_pairs_sql(EMB_DUP_T),
         "embedding_near_dup_lsh": similarity.cosine_pairs_lsh_sql(EMB_DUP_T),
         "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),
