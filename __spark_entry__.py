@@ -343,6 +343,17 @@ def _q_zone_classification_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.classify_tree_ensemble(feats, ["zone_id"], RF_TREES)
 
 
+def _q_page_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order storage-layout key per geo page — the Iceberg
+    sort_order z-order(lon, lat) analogue used to cluster data files so
+    bbox scans prune file ranges. Pure shifts/masks, bit-identical on both
+    engines (grid.zorder_col / zorder_sql)."""
+    g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
+    return g.select("page_id",
+                    grid.zorder_col(F.col("lon_e6"), F.col("lat_e6"))
+                    .alias("zkey"))
+
+
 def _q_skewed_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over the skewed per-tile page
     distribution (north rule: dense urban cells dominate their shuffle
@@ -1027,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh_multitable": _q_ann_lsh_mt,  # new in r3
         "ann_topk_ivf_multiprobe": _q_ann_ivf_mp,  # new in r3
         "skewed_tile_counts_salted": _q_skewed_tile_counts,  # new in r3
+        "page_zorder_keys": _q_page_zorder,  # new in r3
         "smbr_direction_distribution": _q_smbr_direction,  # gcd tie-break (r3)
         "tile_lod_rollup": _q_tile_lod,
         # -- block 3: stable but load-bearing (keep inside the window) --
@@ -1196,6 +1208,9 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             ANN_QUERY_IDS, ANN_K),
         "ann_topk_ivf_multiprobe": similarity.ivf_topk_sql(
             ANN_QUERY_IDS, ANN_K, nprobe=3),
+        "page_zorder_keys": f"""{_PAGES_CTE}
+SELECT page_id, {grid.zorder_sql("lon_e6", "lat_e6")} AS zkey
+FROM pages WHERE lon_e6 IS NOT NULL""",
         "skewed_tile_counts_salted": f"""{_PAGES_CTE}
 SELECT CAST({tile} AS BIGINT) AS tile_id, COUNT(*) AS n_pages,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,

@@ -179,3 +179,61 @@ def cell_sql(lon_e6_sql: str, lat_e6_sql: str, res: int) -> str:
     x = f"LEAST(GREATEST(CAST({x} AS BIGINT), 0), {nx(res) - 1})"
     y = f"LEAST(GREATEST(CAST({y} AS BIGINT), 0), {ny(res) - 1})"
     return (f"(CAST({res} AS BIGINT) * {1 << _R_SHIFT} + ({x}) * {1 << _X_SHIFT} + ({y}))")
+
+
+# ---------------------------------------------------------------- z-order key
+# Morton/Z-order sort key — the storage-layout clustering primitive (Iceberg
+# `sort_order z-order(lon, lat)` analogue): rows sorted/range-partitioned by
+# this key land spatially-near pages in the same data files, so bbox scans
+# prune file ranges instead of reading the world. 16 bits per axis (~5.5 m
+# lon resolution at the equator) → 32-bit key. Three bit-for-bit-identical
+# forms like the cell index: Column / SQL / numpy. Pure shifts and masks —
+# whole-stage codegen in Spark, plain bigint ops in DuckDB.
+ZBITS = 16
+_Z_SPREAD = (  # (shift, mask) chain spreading 16 bits to even positions
+    (8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def _z_axis_np(v_e6: np.ndarray, off: int, full: int) -> np.ndarray:
+    i = (v_e6.astype(np.int64) + off) * (1 << ZBITS) // full
+    return np.clip(i, 0, (1 << ZBITS) - 1)
+
+
+def zorder_np(lon_e6: np.ndarray, lat_e6: np.ndarray) -> np.ndarray:
+    def spread(v):
+        v = v.astype(np.int64)
+        for s, m in _Z_SPREAD:
+            v = (v | (v << s)) & m
+        return v
+    x = _z_axis_np(np.asarray(lon_e6), 180 * LON_SCALE, FULL_LON_E6)
+    y = _z_axis_np(np.asarray(lat_e6), 90 * LON_SCALE, FULL_LAT_E6)
+    return spread(x) | (spread(y) << 1)
+
+
+def zorder_col(lon_e6: Column, lat_e6: Column) -> Column:
+    def axis(v, off, full):
+        i = _idiv_col((v.cast("long") + F.lit(off)) * F.lit(1 << ZBITS), full)
+        return F.least(F.greatest(i, F.lit(0)), F.lit((1 << ZBITS) - 1))
+
+    def spread(v):
+        for s, m in _Z_SPREAD:
+            v = v.bitwiseOR(F.shiftleft(v, s)).bitwiseAND(F.lit(m))
+        return v
+    x = spread(axis(lon_e6, 180 * LON_SCALE, FULL_LON_E6))
+    y = spread(axis(lat_e6, 90 * LON_SCALE, FULL_LAT_E6))
+    return x.bitwiseOR(F.shiftleft(y, 1)).cast("long")
+
+
+def zorder_sql(lon_e6_sql: str, lat_e6_sql: str) -> str:
+    def axis(v, off, full):
+        p = f"((CAST(({v}) AS BIGINT) + {off}) * {1 << ZBITS})"
+        i = f"(({p} - {p} % {full}) / {full})"
+        return f"LEAST(GREATEST(CAST({i} AS BIGINT), 0), {(1 << ZBITS) - 1})"
+
+    def spread(v):
+        for s, m in _Z_SPREAD:
+            v = f"(({v} | ({v} << {s})) & {m})"
+        return v
+    x = spread(axis(lon_e6_sql, 180 * LON_SCALE, FULL_LON_E6))
+    y = spread(axis(lat_e6_sql, 90 * LON_SCALE, FULL_LAT_E6))
+    return f"CAST(({x} | ({y} << 1)) AS BIGINT)"

@@ -93,3 +93,36 @@ def test_res_cap_enforced():
         grid.cell_col(F.lit(0), F.lit(0), grid.MAX_RES + 1)
     with pytest.raises(ValueError):
         grid.cell_sql("0", "0", grid.MAX_RES + 1)
+
+
+def test_zorder_three_forms_agree_and_cluster(spark, duck):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from geoclimate_spark import grid
+
+    lons = np.array([-180_000_000, -1, 0, 1, 2_349_000, 179_999_999,
+                     -73_985_000, 139_691_000])
+    lats = np.array([-90_000_000, -1, 0, 1, 48_853_000, 89_999_999,
+                     40_748_000, 35_689_000])
+    want = grid.zorder_np(lons, lats)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(lons, lats)], "lon long, lat long")
+    got = [r.z for r in df.select(
+        grid.zorder_col(F.col("lon"), F.col("lat")).alias("z"))
+        .collect()]
+    assert got == list(want)
+    rows = ", ".join(f"({a}, {b})" for a, b in zip(lons, lats))
+    sql = (f"SELECT {grid.zorder_sql('lon', 'lat')} AS z "
+           f"FROM (VALUES {rows}) AS t(lon, lat)")
+    assert [int(v) for (v,) in duck.execute(sql).fetchall()] == list(want)
+
+    # locality: z-order-adjacent points are spatially closer on average
+    # than id-order-adjacent points (the reason the key exists)
+    rng_lon = ((np.arange(400) * 2654435761) % 360_000_000) - 180_000_000
+    rng_lat = ((np.arange(400) * 40503 * 65537) % 180_000_000) - 90_000_000
+    z = grid.zorder_np(rng_lon, rng_lat)
+    order = np.argsort(z, kind="stable")
+    d = lambda idx: float(np.mean(
+        np.abs(np.diff(rng_lon[idx].astype(float)))
+        + np.abs(np.diff(rng_lat[idx].astype(float)))))
+    assert d(order) < d(np.arange(400)) / 2
