@@ -839,6 +839,43 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").cast("long").alias("doc_id")))
 
 
+def _q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO real availableNow streaming drains through the ingest path
+    (file source, exactly-once checkpointed discovery) with the stateful
+    event-time windowed tile aggregation: chunk 1 = pages below
+    STREAM_SPLIT_ID, chunk 2 = the rest. Run 2 RESUMES the window state
+    from run 1's checkpoint, so the final complete-mode table equals the
+    batch answer over all pages — which is the DuckDB oracle: the
+    streaming state recovery itself is hash-checked by the driver."""
+    import tempfile
+
+    from pathlib import Path as _P
+
+    from geoclimate_spark.streaming import ingest as stream_ingest
+
+    tmp = _P(tempfile.mkdtemp(prefix="gc_stream_ingest_"))
+    name = "gc_windowed_ingest_sink"
+    pages = pages_from_documents(spark, sf_dir)
+    (pages.where(F.col("page_id") < STREAM_SPLIT_ID)
+     .write.mode("overwrite").parquet(str(tmp / "in" / "chunk1")))
+
+    def drain():
+        agg = stream_ingest.windowed_tile_counts(
+            stream_ingest.stream_pages(spark, str(tmp / "in" / "*")))
+        q = (agg.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", str(tmp / "ck"))
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    (pages.where(F.col("page_id") >= STREAM_SPLIT_ID)
+     .write.mode("overwrite").parquet(str(tmp / "in" / "chunk2")))
+    drain()
+    return (spark.table(name)
+            .select(F.col("window_start").cast("long").alias("window_start_s"),
+                    "tile_id", F.col("n_pages").cast("long").alias("n_pages")))
+
+
 # ------------------------------------------------------ round-3 operators
 RESIZE_W = RESIZE_H = 8
 FRAME_EVERY_N = 5
@@ -1008,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_value": _q_event_asof,            # + NULL-carry fix (r3)
         "event_interval_join": _q_event_interval_join,  # + empty-iv fix (r3)
         "streaming_incremental_dedup": _q_streaming_dedup,  # + retry fix (r3)
+        "streaming_windowed_ingest": _q_streaming_windowed_ingest,  # new r3
         "curated_near_dedup": _q_curated_near_dedup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "repetition_metrics": _q_repetition_metrics,
@@ -1208,6 +1246,12 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             ANN_QUERY_IDS, ANN_K),
         "ann_topk_ivf_multiprobe": similarity.ivf_topk_sql(
             ANN_QUERY_IDS, ANN_K, nprobe=3),
+        "streaming_windowed_ingest": f"""{_PAGES_CTE}
+SELECT CAST((warc_epoch - warc_epoch % 3600) AS BIGINT) AS window_start_s,
+       CAST({tile_op.tile_sql("lon_e6", "lat_e6", TILE_RES)} AS BIGINT) AS tile_id,
+       COUNT(*) AS n_pages
+FROM pages WHERE lon_e6 IS NOT NULL
+GROUP BY 1, 2""",
         "page_zorder_keys": f"""{_PAGES_CTE}
 SELECT page_id, {grid.zorder_sql("lon_e6", "lat_e6")} AS zkey
 FROM pages WHERE lon_e6 IS NOT NULL""",
