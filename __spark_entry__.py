@@ -37,8 +37,10 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         griddist, knn, noise,
                                         overlay, polygon_overlay, repetition,
                                         smbr, raster, roads, similarity,
-                                        skew, windows, zonal)
+                                        skew, svf, train, windows, zonal)
+from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.sources import assembly, media
+from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
 from geoclimate_spark.plans import flagship, joiner
@@ -816,6 +818,7 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are monotone across batches, the online greedy result equals the batch
     answer MIN(doc_id) per fingerprint — which is the DuckDB oracle, so the
     streaming state machinery itself is hash-checked by the driver."""
+    import shutil
     import tempfile
 
     from pathlib import Path as _P
@@ -823,20 +826,26 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoclimate_spark.streaming import dedup as stream_dedup
 
     tmp = _P(tempfile.mkdtemp(prefix="gc_stream_dedup_"))
-    d = _docs(spark, sf_dir)
-    recrawl = (d.where(F.col("doc_id") < RECRAWL_K)
-               .withColumn("doc_id", F.col("doc_id") + RECRAWL_OFF))
-    c1 = d.where(F.col("doc_id") < STREAM_SPLIT_ID)
-    c2 = d.where(F.col("doc_id") >= STREAM_SPLIT_ID).unionByName(recrawl)
-    run = lambda: stream_dedup.run_incremental_dedup(
-        spark, str(tmp / "in" / "*"), str(tmp / "store"), str(tmp / "out"),
-        str(tmp / "ck"), schema=d.schema, mode="exact")
-    c1.write.mode("overwrite").parquet(str(tmp / "in" / "chunk1"))
-    run()
-    c2.write.mode("overwrite").parquet(str(tmp / "in" / "chunk2"))
-    run()
-    return (stream_dedup.kept_documents(spark, str(tmp / "out"))
-            .select(F.col("doc_id").cast("long").alias("doc_id")))
+    try:
+        d = _docs(spark, sf_dir)
+        recrawl = (d.where(F.col("doc_id") < RECRAWL_K)
+                   .withColumn("doc_id", F.col("doc_id") + RECRAWL_OFF))
+        c1 = d.where(F.col("doc_id") < STREAM_SPLIT_ID)
+        c2 = d.where(F.col("doc_id") >= STREAM_SPLIT_ID).unionByName(recrawl)
+        run = lambda: stream_dedup.run_incremental_dedup(
+            spark, str(tmp / "in" / "*"), str(tmp / "store"), str(tmp / "out"),
+            str(tmp / "ck"), schema=d.schema, mode="exact")
+        c1.write.mode("overwrite").parquet(str(tmp / "in" / "chunk1"))
+        run()
+        c2.write.mode("overwrite").parquet(str(tmp / "in" / "chunk2"))
+        run()
+        # localCheckpoint detaches the result from the temp parquet files so
+        # the scratch dir can be removed before the caller materializes
+        return (stream_dedup.kept_documents(spark, str(tmp / "out"))
+                .select(F.col("doc_id").cast("long").alias("doc_id"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,7 +855,14 @@ def _q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     STREAM_SPLIT_ID, chunk 2 = the rest. Run 2 RESUMES the window state
     from run 1's checkpoint, so the final complete-mode table equals the
     batch answer over all pages — which is the DuckDB oracle: the
-    streaming state recovery itself is hash-checked by the driver."""
+    streaming state recovery itself is hash-checked by the driver.
+
+    The memory sink reuses the fixed name ``gc_windowed_ingest_sink``:
+    a repeat invocation in the same session REPLACES the sink table (both
+    drains are re-run from a fresh scratch dir, so the replacement is the
+    same answer recomputed). Scratch input/checkpoint dirs are removed in
+    the finally block; the returned frame is detached from them first."""
+    import shutil
     import tempfile
 
     from pathlib import Path as _P
@@ -855,25 +871,31 @@ def _q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = _P(tempfile.mkdtemp(prefix="gc_stream_ingest_"))
     name = "gc_windowed_ingest_sink"
-    pages = pages_from_documents(spark, sf_dir)
-    (pages.where(F.col("page_id") < STREAM_SPLIT_ID)
-     .write.mode("overwrite").parquet(str(tmp / "in" / "chunk1")))
+    try:
+        pages = pages_from_documents(spark, sf_dir)
+        (pages.where(F.col("page_id") < STREAM_SPLIT_ID)
+         .write.mode("overwrite").parquet(str(tmp / "in" / "chunk1")))
 
-    def drain():
-        agg = stream_ingest.windowed_tile_counts(
-            stream_ingest.stream_pages(spark, str(tmp / "in" / "*")))
-        q = (agg.writeStream.format("memory").queryName(name)
-             .option("checkpointLocation", str(tmp / "ck"))
-             .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination()
+        def drain():
+            agg = stream_ingest.windowed_tile_counts(
+                stream_ingest.stream_pages(spark, str(tmp / "in" / "*")))
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .option("checkpointLocation", str(tmp / "ck"))
+                 .outputMode("complete").trigger(availableNow=True).start())
+            q.awaitTermination()
 
-    drain()
-    (pages.where(F.col("page_id") >= STREAM_SPLIT_ID)
-     .write.mode("overwrite").parquet(str(tmp / "in" / "chunk2")))
-    drain()
-    return (spark.table(name)
-            .select(F.col("window_start").cast("long").alias("window_start_s"),
-                    "tile_id", F.col("n_pages").cast("long").alias("n_pages")))
+        drain()
+        (pages.where(F.col("page_id") >= STREAM_SPLIT_ID)
+         .write.mode("overwrite").parquet(str(tmp / "in" / "chunk2")))
+        drain()
+        # complete-mode memory sink rows live in the session, not in tmp —
+        # localCheckpoint only pins them against a later sink-name reuse
+        return (spark.table(name)
+                .select(F.col("window_start").cast("long").alias("window_start_s"),
+                        "tile_id", F.col("n_pages").cast("long").alias("n_pages"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ------------------------------------------------------ round-3 operators
@@ -1034,18 +1056,108 @@ def _q_page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            key="page_id")
 
 
+# ------------------------------------------------------ round-4 operators
+TRAIN_FEATS = ["area", "perim", "elong"]
+
+
+def _q_wkb_layer_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB real-geometry front door end-to-end: the convex feature layer
+    arrives as OGC WKB bytes (with sub-snap jitter), is decoded + snapped to
+    the integer grid executor-side (sources/wkb.py), and feeds the SAME
+    relational overlay as poly_zone_layer_cover — the oracle never sees WKB,
+    so a green hash proves decode∘snap recovers the exact vertex layer
+    (`WorkflowGeoIndicatorsTest.groovy:67-73` load-real-polygons shape)."""
+    vtx = wkb_src.decode_wkb_vertices(
+        wkb_src.wkb_feature_layer_df(spark), id_col="feat_id",
+        keep=("layer",), scale=1.0)
+    fvtx = (vtx.where((F.col("part") == 0) & (F.col("ring") == 0))
+            .select("feat_id", "layer", "seq", "x", "y"))
+    pairs = polygon_overlay.convex_pair_areas(
+        layers.poly_zone_vertices_df(spark), fvtx)
+    return polygon_overlay.layer_cover(pairs,
+                                       layers.poly_zone_vertices_df(spark))
+
+
+def _q_rf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomForest TRAIN + apply (`TypologyClassification.groovy:495-577`):
+    collect the labeled fixture rows from the Spark table, fit the
+    deterministic forest, apply it distributed. The oracle re-trains
+    independently from the same fixture (train.trained_cls_forest) — a green
+    hash proves the fit is replayable, not just the inference."""
+    b = train.synth_buildings_df(spark)
+    rows = train.collect_training(
+        b.where(F.col("size_cls").isNotNull()), TRAIN_FEATS, "size_cls")
+    trees = train.fit_forest(rows, TRAIN_FEATS, "size_cls",
+                             n_trees=5, max_depth=4, min_leaf=5, mode="cls")
+    return classify.classify_tree_ensemble(b, ["bld_id"], trees)
+
+
+def _q_estimated_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Height-estimation loop (`WorkflowGeoIndicators.groovy:1342,1224`):
+    regression forest fit on rows WITH height, missing heights patched with
+    FLOOR(pred + 0.5), then a downstream indicator recomputed on the patched
+    table (integer sums — exact)."""
+    b = train.synth_buildings_df(spark)
+    rows = train.collect_training(
+        b.where(F.col("height").isNotNull()), TRAIN_FEATS, "height")
+    trees = train.fit_forest(rows, TRAIN_FEATS, "height",
+                             n_trees=5, max_depth=4, min_leaf=5, mode="reg")
+    pred = classify.regress_tree_ensemble(b, ["bld_id"], trees, "pred")
+    patched = (b.join(pred, "bld_id")
+               .select("bld_id", "zone_id",
+                       F.coalesce(F.col("height"),
+                                  F.floor(F.col("pred") + F.lit(0.5))
+                                  .cast("double")).alias("h"),
+                       F.col("height").isNull().alias("est")))
+    return (patched.groupBy("zone_id")
+            .agg(F.count("*").cast("long").alias("n_bld"),
+                 F.sum(F.col("est").cast("long")).alias("n_estimated"),
+                 F.sum(F.col("h").cast("long")).alias("total_height"),
+                 F.max(F.col("h").cast("long")).alias("max_height")))
+
+
+def _q_population_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level population cascade (`PopulationIndicators.groovy:85-160`):
+    raster values → builtup rects (per-cell built-area normalizer) → zones →
+    res-5 tiles, re-normalized at every level."""
+    blds = (layers.rect_layers_with_id_df(spark)
+            .where(F.col("layer") == "builtup")
+            .select(F.col("rect_id").alias("bld_id"),
+                    "lon0", "lat0", "lon1", "lat1"))
+    return pop_op.population_chain(
+        raster.raster_df(spark), blds, raster.zone_bounds_df(spark),
+        raster.grid_cells_df(spark, pop_op.TILE_RES_POP))
+
+
+def _q_zone_svf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVF-shape zone openness (`RsuIndicators.groovy:280-344`): integer
+    lattice sample points per zone, kring-bounded page counts per point,
+    capped-mean per zone."""
+    return svf.zone_svf(svf.sample_points_df(spark),
+                        _geo_points(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER = driver check priority (the driver verifies the first 50
     entries per round). Never-driver-verified and recently-changed queries
     come first; twice-green stable queries rotate to the tail. Every entry
     has pytest coverage regardless of window position."""
     return {
-        # -- block 1: no round-2 CORRECTNESS row (r1-pass or never checked) --
+        # -- block 0: NEW in round 4 (never driver-verified) --
+        "wkb_zone_layer_cover": _q_wkb_layer_cover,
+        "rf_trained_classification": _q_rf_trained,
+        "estimated_attribute_rollup": _q_estimated_rollup,
+        "population_multilevel": _q_population_multilevel,
+        "zone_svf_points": _q_zone_svf,
+        # -- block 1: engine/oracle changed in round 4 --
+        "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
+        "smbr_direction_distribution": _q_smbr_direction,  # calipers path (r4)
+        "tile_neighbor_smoothing": _q_tile_neighbor_smoothing,  # kring9_sql DISTINCT (r4)
+        "event_asof_value": _q_event_asof,            # right_unique param (r4)
+        "streaming_windowed_ingest": _q_streaming_windowed_ingest,  # tmp cleanup (r4)
+        # -- block 2: no round-2 CORRECTNESS row (r1-pass or never checked) --
         "event_props_rollup": _q_event_props_rollup,  # last signal: r1 FAIL
-        "event_asof_value": _q_event_asof,            # + NULL-carry fix (r3)
         "event_interval_join": _q_event_interval_join,  # + empty-iv fix (r3)
-        "streaming_incremental_dedup": _q_streaming_dedup,  # + retry fix (r3)
-        "streaming_windowed_ingest": _q_streaming_windowed_ingest,  # new r3
         "curated_near_dedup": _q_curated_near_dedup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "repetition_metrics": _q_repetition_metrics,
@@ -1064,7 +1176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_boundary_distance": _q_tile_boundary_distance,
         "zone_inverse_cover": _q_zone_inverse_cover,
         "roof_area_distribution_gable": _q_roof_gable,
-        "tile_neighbor_smoothing": _q_tile_neighbor_smoothing,
         "relation_assembly": _q_relation_assembly,
         "road_traffic": _q_road_traffic,
         "road_zone_stats_zindex": _q_road_zone_stats_zindex,
@@ -1077,7 +1188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_multiprobe": _q_ann_ivf_mp,  # new in r3
         "skewed_tile_counts_salted": _q_skewed_tile_counts,  # new in r3
         "page_zorder_keys": _q_page_zorder,  # new in r3
-        "smbr_direction_distribution": _q_smbr_direction,  # gcd tie-break (r3)
         "tile_lod_rollup": _q_tile_lod,
         # -- block 3: stable but load-bearing (keep inside the window) --
         "flagship_zone_tile_language_mix": _q_flagship,
@@ -1178,11 +1288,50 @@ def _curated_near_dedup_oracle_sql() -> str:
             f" WHERE doc_id = component")
 
 
+def _estimated_rollup_sql() -> str:
+    """Oracle replays the INDEPENDENTLY re-trained regression forest (same
+    deterministic fit, same fixture) as literal CASE trees, then the same
+    patch + integer rollup."""
+    trees = train.trained_reg_forest()
+    pred = classify.regress_tree_ensemble_sql(
+        "SELECT bld_id, area, perim, elong FROM b", ["bld_id"], trees)
+    return f"""WITH b AS ({train.synth_buildings_values_sql()}),
+p AS ({pred}),
+patched AS (SELECT b.bld_id, b.zone_id,
+       COALESCE(b.height, CAST(FLOOR(p.pred + 0.5) AS DOUBLE)) AS h,
+       b.height IS NULL AS est
+  FROM b JOIN p USING (bld_id))
+SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_bld,
+       CAST(SUM(CASE WHEN est THEN 1 ELSE 0 END) AS BIGINT) AS n_estimated,
+       CAST(SUM(CAST(h AS BIGINT)) AS BIGINT) AS total_height,
+       CAST(MAX(CAST(h AS BIGINT)) AS BIGINT) AS max_height
+FROM patched GROUP BY zone_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     zone = layers.zone_case_sql("lon_e6", "lat_e6")
     tile = tile_op.tile_sql("lon_e6", "lat_e6", TILE_RES)
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
+        # -- round 4 --
+        "wkb_zone_layer_cover": polygon_overlay.layer_cover_sql(
+            polygon_overlay.convex_pair_areas_sql(
+                layers.poly_zone_vertices_values_sql(),
+                layers.poly_feature_vertices_values_sql()),
+            layers.poly_zone_vertices_values_sql()),
+        "rf_trained_classification": classify.classify_tree_ensemble_sql(
+            "SELECT bld_id, area, perim, elong FROM ("
+            + train.synth_buildings_values_sql() + ")",
+            ["bld_id"], train.trained_cls_forest()),
+        "estimated_attribute_rollup": _estimated_rollup_sql(),
+        "population_multilevel": pop_op.population_chain_sql(
+            raster.raster_sql(),
+            "SELECT rect_id AS bld_id, lon0, lat0, lon1, lat1 FROM ("
+            + layers.rect_layers_values_sql() + ") WHERE layer = 'builtup'",
+            raster.zone_bounds_values_sql(), pop_op.tiles_sql()),
+        "zone_svf_points": svf.zone_svf_sql(
+            f"{_PAGES_CTE}\nSELECT page_id, lon_e6, lat_e6 FROM pages"
+            " WHERE lon_e6 IS NOT NULL"),
         "flagship_zone_tile_language_mix": f"""{_PAGES_CTE}
 SELECT CAST({zone} AS BIGINT) AS zone_id, CAST({tile} AS BIGINT) AS tile_id,
        COUNT(*) AS n_pages, COUNT(DISTINCT lang) AS n_langs,

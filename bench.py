@@ -114,7 +114,13 @@ def main() -> None:
             "throughput_big", "scaling_efficiency",
             "median_pair_efficiency", "pass") if k in s}
     if "prev_rounds" in result:
-        compact["prev_rounds"] = result["prev_rounds"]
+        # headline numbers ONLY — the full per-round records grow each round
+        # and would eventually push the compact line past the 2000-char
+        # driver tail window again (full history rides in bench_latest.json)
+        compact["prev_rounds"] = {
+            r: {"headline_sec": v.get("headline_sec"),
+                "pages_per_sec": v.get("throughput_pages_per_sec")}
+            for r, v in result["prev_rounds"].items()}
     compact["queries_total"] = len(timings)
     compact["full_artifact"] = "BENCH/bench_latest.json"
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])

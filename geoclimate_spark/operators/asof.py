@@ -36,10 +36,18 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
                left_ts: str = "ts", right_ts: str = "ts",
                right_vals: tuple[str, ...] = ("value",),
                tolerance_us: int | None = None,
-               prefix: str = "asof_") -> DataFrame:
+               prefix: str = "asof_",
+               right_unique: str | None = None) -> DataFrame:
     """Left rows + ``{prefix}{v}`` for each right value column +
     ``{prefix}lag_us`` (microseconds since the matched right row; NULL when
-    no right row at-or-before, or when older than ``tolerance_us``)."""
+    no right row at-or-before, or when older than ``tolerance_us``).
+
+    Determinism: with duplicate right timestamps per key the winner among
+    ties is physical-order-dependent UNLESS ``right_unique`` names a unique
+    right column to break ties on (it is appended to the ranking order, and
+    the HIGHEST value among equal timestamps wins). With unique
+    (key, right_ts) — e.g. a strictly increasing feed — the result is fully
+    deterministic either way."""
     lcols = [c for c in left.columns]
     rt = F.unix_micros(F.col(right_ts).cast("timestamp"))
     # The carried payload is ONE struct (matched timestamp + value columns),
@@ -53,11 +61,11 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(None).cast("long").alias("_rt"),
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"_v_{v}")
           for v in right_vals]))
-    # deterministic right-row tie-break: row_number per (key, ts) — with
-    # duplicate right timestamps the LAST right row in this order wins,
-    # independent of physical partitioning (monotonically_increasing_id
-    # was partition-dependent).
-    rw = Window.partitionBy(key).orderBy(right_ts)
+    # right-row tie-break: row_number per (key, ts[, right_unique]) — the
+    # LAST right row in this order wins. Partition-independent when
+    # (key, ts) is unique or right_unique is given; see docstring.
+    rw = Window.partitionBy(key).orderBy(
+        *([right_ts, right_unique] if right_unique else [right_ts]))
     r = right.select(
         F.col(key).alias("_k"), rt.alias("_t"),
         F.lit(0).alias("_side"),

@@ -157,9 +157,68 @@ def classify_tree_ensemble(df: DataFrame, key_cols: list[str],
 
 def _iter_nodes(node: dict):
     yield node
-    if "cls" not in node:
+    if "cls" not in node and "val" not in node:
         yield from _iter_nodes(node["lo"])
         yield from _iter_nodes(node["hi"])
+
+
+# -------------------------------------------------------------- regression
+def _rtree_col(node: dict) -> Column:
+    """Compile a REGRESSION tree spec: leaves are {"val": number}."""
+    if "val" in node:
+        return F.lit(float(node["val"]))
+    return (F.when(F.col(node["feature"]) <= F.lit(node["thr"]),
+                   _rtree_col(node["lo"]))
+            .otherwise(_rtree_col(node["hi"])))
+
+
+def _rtree_sql(node: dict) -> str:
+    if "val" in node:
+        return f"CAST('{float(node['val'])!r}' AS DOUBLE)"
+    t = node["thr"]
+    return (f"CASE WHEN {node['feature']} <= CAST('{t!r}' AS DOUBLE)"
+            f" THEN {_rtree_sql(node['lo'])} ELSE {_rtree_sql(node['hi'])} END")
+
+
+def regress_tree_ensemble(df: DataFrame, key_cols: list[str],
+                          trees: list[dict],
+                          out_col: str = "pred") -> DataFrame:
+    """Regression-forest inference — the reference's building-height
+    estimation model applied per row (`WorkflowGeoIndicators.groovy:1342`
+    `estimateBuildingHeight`; model = RF REGRESSION over indicator columns).
+    Prediction = mean of per-tree leaf values in declaration order — ONE
+    fixed IEEE expression ``(t0 + t1 + … ) / n`` that the DuckDB dual
+    (:func:`regress_tree_ensemble_sql`) evaluates identically. Rows with a
+    NULL feature predict NULL (the caller decides the fallback).
+
+    Output: (key_cols..., {out_col})."""
+    feats = sorted({n["feature"] for t in trees for n in _iter_nodes(t)
+                    if "feature" in n})
+    acc = None
+    for t in trees:
+        c = _rtree_col(t)
+        acc = c if acc is None else acc + c
+    pred = acc / F.lit(float(len(trees)))
+    anynull = None
+    for f in feats:
+        c = F.col(f).isNull()
+        anynull = c if anynull is None else (anynull | c)
+    return df.select(*key_cols,
+                     F.when(anynull, F.lit(None).cast("double"))
+                     .otherwise(pred).alias(out_col))
+
+
+def regress_tree_ensemble_sql(rows_sql: str, key_cols: list[str],
+                              trees: list[dict],
+                              out_col: str = "pred") -> str:
+    feats = sorted({n["feature"] for t in trees for n in _iter_nodes(t)
+                    if "feature" in n})
+    expr = "(" + " + ".join(_rtree_sql(t) for t in trees) \
+        + f") / CAST('{float(len(trees))!r}' AS DOUBLE)"
+    anynull = " OR ".join(f"{f} IS NULL" for f in feats)
+    keys = ", ".join(key_cols)
+    return (f"SELECT {keys}, CASE WHEN {anynull} THEN NULL"
+            f" ELSE {expr} END AS {out_col} FROM ({rows_sql})")
 
 
 def classify_tree_ensemble_sql(rows_sql: str, key_cols: list[str],

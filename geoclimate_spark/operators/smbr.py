@@ -35,23 +35,42 @@ and DuckDB:
   (3·dy² vs dx²); the irrational boundaries are unreachable for integer
   vectors, so no boundary ambiguity exists.
 
-Scale: the engine reduces each component to its EXACT integer convex hull
-first (:func:`hull_points`, Arrow-batched) and scans only hull-point pairs —
-O(h³) with h ≪ n, valid by the hull-edge theorem; the DuckDB oracle keeps
-the independent full O(n³) pair scan. All set operations are equi-joins on
-the component id.
+Scale: each component is solved in ONE Arrow-batched group pass
+(:func:`smbr_per_component`). Small components (≤ ``PAIR_SCAN_MAX`` distinct
+points) run the full gcd-reduced pair-direction scan — the oracle's exact
+program, including ties. Big components are reduced to their EXACT integer
+convex hull (O(n log n) sort + monotone chain) and solved with ROTATING
+CALIPERS over hull-EDGE directions only — O(h) pointer advances after the
+hull, so the per-component cost is O(n log n) total instead of the previous
+O(h³) hull-pair scan (adversarial points-on-a-circle inputs, h = n, are now
+linear after the sort). The DuckDB oracle keeps the independent full O(n³)
+pair scan.
+
+Generic-position note (big components only): the calipers path ranks only
+hull-EDGE direction classes, the oracle ranks ALL pair direction classes.
+The minimum-area direction is always a hull-edge class (hull-edge theorem),
+so the two can diverge ONLY if a non-edge class ties the minimal area
+bit-for-bit in double AND sorts lower on (dx, dy) — an exact symmetric
+configuration. The driver fixture is verified free of such ties by
+tests/test_smbr.py::test_calipers_matches_bruteforce; components at or below
+``PAIR_SCAN_MAX`` replicate the oracle ranking exactly, ties included.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_BINS = 6  # 30° sectors of [0, 180)
-HULL_MIN_N = 64  # hull-reduce only components where the O(n³) scan dominates
+HULL_MIN_N = 64  # legacy alias of PAIR_SCAN_MAX (kept for callers/tests)
+# at or below this many DISTINCT points the full pair-direction scan (the
+# oracle's exact program, ties included) runs vectorized; above it, exact
+# hull + rotating calipers
+PAIR_SCAN_MAX = 64
 
 
 def _int_hull(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -151,6 +170,102 @@ def sector_bin_sql(dx: str, dy: str) -> str:
             f"ELSE 3 END AS BIGINT)")
 
 
+def _brute_winner(xs: np.ndarray, ys: np.ndarray) -> tuple:
+    """Winning (dx, dy, len2, d_p, d_c) over ALL gcd-reduced pair-direction
+    classes — the oracle's exact program (same int64 arithmetic, same IEEE
+    area expression, same (area, dx, dy) ranking, ties included). Inputs are
+    the DISTINCT coordinates (duplicates add no direction class and never
+    move a max/min extent)."""
+    n = len(xs)
+    i, j = np.triu_indices(n, k=1)
+    dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+    flip = (dy < 0) | ((dy == 0) & (dx < 0))
+    dx, dy = np.where(flip, -dx, dx), np.where(flip, -dy, dy)
+    g = np.gcd(np.abs(dx), np.abs(dy))
+    dirs = np.unique(np.stack([dx // g, dy // g], axis=1), axis=0)
+    # extents: projection P and cross C of every point under every class
+    P = dirs[:, 0:1] * xs[None, :] + dirs[:, 1:2] * ys[None, :]
+    C = dirs[:, 0:1] * ys[None, :] - dirs[:, 1:2] * xs[None, :]
+    d_p = P.max(axis=1) - P.min(axis=1)
+    d_c = C.max(axis=1) - C.min(axis=1)
+    len2 = dirs[:, 0] ** 2 + dirs[:, 1] ** 2
+    area = (d_p.astype(np.float64) * d_c.astype(np.float64)
+            / len2.astype(np.float64))
+    k = int(np.lexsort((dirs[:, 1], dirs[:, 0], area))[0])
+    return (int(dirs[k, 0]), int(dirs[k, 1]), int(len2[k]),
+            int(d_p[k]), int(d_c[k]))
+
+
+def _calipers_winner(pts: list[tuple[int, int]]) -> tuple:
+    """Winning (dx, dy, len2, d_p, d_c) over hull-EDGE direction classes via
+    rotating calipers — O(h) pointer advances on the exact integer hull.
+    ``pts`` must be sorted distinct (x, y) tuples. Valid by the hull-edge
+    theorem; see the module docstring's generic-position note for the only
+    divergence the edge-only restriction can introduce vs the oracle."""
+    from math import gcd
+
+    hull = _int_hull(pts)
+    h = len(hull)
+    if h == 2:  # all points collinear: single direction class, zero width
+        (x0, y0), (x1, y1) = hull
+        dx, dy = x1 - x0, y1 - y0
+        if dy < 0 or (dy == 0 and dx < 0):
+            dx, dy = -dx, -dy
+        g = gcd(abs(dx), abs(dy))
+        dx, dy = dx // g, dy // g
+        d_p = max(dx * x + dy * y for x, y in pts) \
+            - min(dx * x + dy * y for x, y in pts)
+        return (dx, dy, dx * dx + dy * dy, d_p, 0)
+    hx = [p[0] for p in hull]
+    hy = [p[1] for p in hull]
+
+    def _adv(idx: int, f) -> int:
+        # advance while STRICTLY better: plateaus (edge-parallel supports)
+        # keep the same extreme VALUE, so not crossing them loses nothing
+        for _ in range(h):
+            nxt = (idx + 1) % h
+            if f(nxt) > f(idx):
+                idx = nxt
+            else:
+                break
+        return idx
+
+    best = None
+    seen: set[tuple[int, int]] = set()
+    jj = kk = ll = 0
+    for i in range(h):
+        ex, ey = hx[(i + 1) % h] - hx[i], hy[(i + 1) % h] - hy[i]
+        proj = lambda t: ex * hx[t] + ey * hy[t]
+        cross = lambda t: ex * hy[t] - ey * hx[t]
+        if i == 0:  # initialize the three calipers by full scan
+            jj = max(range(h), key=proj)
+            ll = min(range(h), key=proj)
+            kk = max(range(h), key=cross)
+        else:  # monotone advances (raw edge vector — argmax is scale-inv)
+            jj = _adv(jj, proj)
+            kk = _adv(kk, cross)
+            ll = _adv(ll, lambda t: -proj(t))
+        # normalize + gcd-reduce AFTER tracking: extents are evaluated with
+        # the PRIMITIVE vector (exact ints) so w/bin math downstream is
+        # bit-identical to the oracle's primitive-vector expressions
+        dx, dy = ex, ey
+        if dy < 0 or (dy == 0 and dx < 0):
+            dx, dy = -dx, -dy
+        g = gcd(abs(dx), abs(dy))
+        dx, dy = dx // g, dy // g
+        if (dx, dy) in seen:  # opposite hull edge, identical class/extents
+            continue
+        seen.add((dx, dy))
+        d_p = abs((dx * hx[jj] + dy * hy[jj]) - (dx * hx[ll] + dy * hy[ll]))
+        d_c = abs((dx * hy[kk] - dy * hx[kk]) - (dx * hy[i] - dy * hx[i]))
+        len2 = dx * dx + dy * dy
+        cand = (float(d_p) * float(d_c) / float(len2), dx, dy,
+                len2, d_p, d_c)
+        if best is None or cand[:3] < best[:3]:
+            best = cand
+    return best[1:]
+
+
 def smbr_per_component(comp_pts: DataFrame) -> DataFrame:
     """Exact minimum-area enclosing rectangle per component.
 
@@ -159,56 +274,34 @@ def smbr_per_component(comp_pts: DataFrame) -> DataFrame:
     degenerate point buildings). Returns one row per component:
     (component, dx, dy, len2, d_p, d_c) — winning direction (normalized),
     its squared length, and the projection/cross extents.
+
+    One Arrow-batched group pass: ≤ ``PAIR_SCAN_MAX`` distinct points →
+    vectorized full pair-direction scan (the oracle's program, bit-for-bit);
+    above it → exact integer hull + rotating calipers (O(n log n) per
+    component, the 100-TB shape — no pair self-join, no O(h³) extent join,
+    one shuffle on the component key).
     """
-    # hull-first, ADAPTIVE: components above HULL_MIN_N points are reduced
-    # to their exact hull before the O(n³) scan (the asymptotic guard —
-    # a 10^4-point block would otherwise cost 10^12 pair-extents); small
-    # components skip the Arrow hop because per-tiny-group pandas overhead
-    # exceeds the scan saved.
-    nw = Window.partitionBy("component")
-    sized = comp_pts.withColumn("_n", F.count("*").over(nw))
-    small = sized.where(F.col("_n") <= HULL_MIN_N).drop("_n")
-    big = sized.where(F.col("_n") > HULL_MIN_N).drop("_n")
-    # consumed three times (both self-join sides + the extent join); the
-    # upstream is typically a CC join with a long lineage — materialize once
-    comp_pts = small.unionByName(hull_points(big)).persist()
-    a, b = comp_pts.alias("a"), comp_pts.alias("b")
-    raw = (a.join(b, (F.col("a.component") == F.col("b.component"))
-                  & (F.col("a.pid") < F.col("b.pid")))
-           .select(F.col("a.component").alias("component"),
-                   (F.col("b.x") - F.col("a.x")).alias("_dx"),
-                   (F.col("b.y") - F.col("a.y")).alias("_dy"))
-           .where((F.col("_dx") != 0) | (F.col("_dy") != 0)))
-    # gcd-reduce to the PRIMITIVE direction and dedup: parallel pairs
-    # collapse to one (dx, dy) class, so the ranking below is invariant to
-    # WHICH pairs produced a direction — hull-reduced engine and full-pair
-    # oracle see identical direction classes wherever it matters (the
-    # minimum-area direction is a hull-edge direction), and w/bin are
-    # computed from the same primitive vector bit-for-bit on both sides.
-    # Side benefit: the extent join fans out per distinct direction class,
-    # not per point pair.
-    ndx, ndy = _norm_dir(F.col("_dx"), F.col("_dy"))
-    g = _gcd_col(ndx, ndy)
-    dirs = (raw.select("component", (ndx / g).cast("long").alias("dx"),
-                       (ndy / g).cast("long").alias("dy"))
-            .distinct())
-    p = comp_pts.select(F.col("component"), F.col("x"), F.col("y"))
-    ext = (dirs.join(p, "component")
-           .select("component", "dx", "dy",
-                   (F.col("dx") * F.col("x") + F.col("dy") * F.col("y")).alias("_p"),
-                   (F.col("dx") * F.col("y") - F.col("dy") * F.col("x")).alias("_c"))
-           .groupBy("component", "dx", "dy")
-           .agg((F.max("_p") - F.min("_p")).alias("d_p"),
-                (F.max("_c") - F.min("_c")).alias("d_c")))
-    len2 = (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
-    area = (F.col("d_p").cast("double") * F.col("d_c").cast("double")
-            / len2.cast("double"))
-    w = Window.partitionBy("component").orderBy(
-        F.col("_area").asc(), F.col("dx").asc(), F.col("dy").asc())
-    return (ext.withColumn("_area", area)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("component", "dx", "dy", len2.alias("len2"), "d_p", "d_c"))
+    schema = ("component long, dx long, dy long, len2 long, "
+              "d_p long, d_c long")
+
+    def run(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for gdf in groups:
+            by_xy = gdf.drop_duplicates(["x", "y"])
+            xs = by_xy["x"].to_numpy(np.int64)
+            ys = by_xy["y"].to_numpy(np.int64)
+            if len(xs) < 2:
+                continue  # singleton: no direction classes
+            if len(xs) <= PAIR_SCAN_MAX:
+                dx, dy, len2, d_p, d_c = _brute_winner(xs, ys)
+            else:
+                pts = sorted(zip((int(v) for v in xs),
+                                 (int(v) for v in ys)))
+                dx, dy, len2, d_p, d_c = _calipers_winner(pts)
+            yield pd.DataFrame([{
+                "component": int(gdf["component"].iloc[0]),
+                "dx": dx, "dy": dy, "len2": len2, "d_p": d_p, "d_c": d_c}])
+
+    return comp_pts.groupBy("component").applyInPandas(run, schema)
 
 
 def smbr_direction_weights(smbr: DataFrame) -> DataFrame:

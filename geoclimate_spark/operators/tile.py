@@ -115,12 +115,16 @@ def neighbor_smoothing(tiles: DataFrame, res: int = TILE_RES,
 def kring9_sql(cell_sql: str, res: int) -> str:
     """SQL relation of (cell, nb) pairs — the 3×3 neighborhood of every
     cell in ``cell_sql`` (one column named cell), lon wraps, lat clamps.
-    Mirrors knn._kring9 bit-for-bit (packed-id arithmetic)."""
+    Mirrors knn._kring9 (packed-id arithmetic). The engine applies
+    array_distinct to the 9 cells, so at degenerate resolutions (nx <= 2,
+    where the -1/+1 lon wrap aliases to the same cell) duplicates collapse —
+    the DISTINCT below keeps this SQL dual aligned there too; at any real
+    resolution (nx >= 4) the 9 neighbors are distinct and DISTINCT is free."""
     nx, ny = grid.nx(res), grid.ny(res)
     mask = (1 << 29) - 1
     x = f"((cell >> 29) & {mask})"
     y = f"(cell & {mask})"
-    return f"""SELECT c.cell,
+    return f"""SELECT DISTINCT c.cell,
        CAST({res} AS BIGINT) * {1 << 58}
          + (({x} + d.dx + {nx}) % {nx}) * {1 << 29} + ({y} + d.dy) AS nb
 FROM ({cell_sql}) c

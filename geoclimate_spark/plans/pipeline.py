@@ -41,9 +41,49 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Stage:
     """One named pipeline step. ``fn(spark, upstream)`` gets every prior
-    stage's DataFrame by name and returns this stage's output."""
+    stage's DataFrame by name and returns this stage's output.
+
+    ``quarantine=True`` declares the output carries a ``_err`` string column
+    (the :func:`quarantined_apply` contract): rows with ``_err`` set are
+    DIVERTED to a ``<name>__errors`` snapshot + manifest record and the run
+    continues — the per-zone catch-and-continue loop of the reference
+    (`osm/WorkflowOSM.groovy:642-694`: failed zones land in an error table,
+    the workflow moves on)."""
     name: str
     fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    quarantine: bool = False
+
+
+def quarantined_apply(df: DataFrame, keys: list[str],
+                      fn: Callable, schema: str) -> DataFrame:
+    """Group-wise apply with per-GROUP error isolation, executor-side.
+
+    ``fn(pdf) -> pdf`` runs per ``keys``-group inside the Arrow batch; a
+    group that raises yields ONE quarantine row (key columns + ``_err`` =
+    "Type: message", payload columns NULL) instead of failing the stage —
+    a poison zone costs one error row, not the job. ``schema`` is the
+    success schema; the returned frame appends ``_err string``. Pair with
+    ``Stage(..., quarantine=True)`` to land the error rows in the manifest.
+    """
+    import pandas as pd
+
+    full_schema = schema + ", _err string"
+    out_cols = [c.strip().split()[0] for c in full_schema.split(",")]
+
+    def run(g: "pd.DataFrame") -> "pd.DataFrame":
+        try:
+            out = fn(g)
+            out = out.copy()
+            out["_err"] = None
+            return out[out_cols]
+        except Exception as e:  # noqa: BLE001 — quarantine IS the contract
+            row = {c: None for c in out_cols}
+            for k in keys:
+                row[k] = g[k].iloc[0]
+            row["_err"] = f"{type(e).__name__}: {e}"
+            return pd.DataFrame([row], columns=out_cols)
+
+    return df.groupBy(*keys).applyInPandas(run, full_schema)
 
 
 def _file_lineage(df_read: DataFrame) -> list[dict]:
@@ -107,6 +147,20 @@ class PipelineRunner:
                 continue
             t0 = time.perf_counter()
             df = st.fn(self.spark, dict(outputs))
+            n_quarantined = 0
+            if st.quarantine:
+                # split the _err channel: bad groups land in the error
+                # snapshot (the reference's error TABLE) and the run goes on
+                edir = self._stage_dir(f"{st.name}__errors")
+                errs = df.where(F.col("_err").isNotNull())
+                errs.write.mode("overwrite").parquet(str(edir))
+                esnap = self.spark.read.parquet(str(edir))
+                n_quarantined = esnap.count()
+                if n_quarantined:
+                    self._append_manifest({
+                        "stage": f"{st.name}__errors", "status": "ok",
+                        "rows": n_quarantined, "ts": time.time()})
+                df = df.where(F.col("_err").isNull()).drop("_err")
             # Iceberg: df.writeTo(...).createOrReplace() — atomic snapshot
             df.write.mode("overwrite").parquet(str(sdir))
             snap = self.spark.read.parquet(str(sdir))
@@ -118,6 +172,7 @@ class PipelineRunner:
                 "n_files": len(lineage),
                 "wall_s": round(time.perf_counter() - t0, 3),
                 "ts": time.time(),
+                "quarantined": n_quarantined,
                 "partitions": lineage,
             }
             self._append_manifest(rec)
@@ -125,6 +180,15 @@ class PipelineRunner:
             if on_stage:
                 on_stage(st.name, "computed")
         return outputs
+
+    def errors(self, stage: str) -> DataFrame | None:
+        """The quarantined-group error table of a stage (None when the
+        stage quarantined nothing)."""
+        edir = self._stage_dir(f"{stage}__errors")
+        if not (edir / "_SUCCESS").exists():
+            return None
+        df = self.spark.read.parquet(str(edir))
+        return df if df.head(1) else None
 
     def metrics(self) -> list[dict]:
         """All successful stage records (the run-metrics table the reference

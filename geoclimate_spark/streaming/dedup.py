@@ -19,20 +19,29 @@ store:
   at-scale trade (exact shingle verify would require storing shingle sets);
   the estimator is deterministic, so the whole stream is replayable.
 
-State store = a parquet directory partitioned by ``batch=<id>`` (Iceberg
-analogue: a MERGE target table; the partition dir is the snapshot). Each
-micro-batch OVERWRITES its own partition, so a batch retried after a crash
-converges to the same store state — idempotent exactly-once on top of the
-streaming checkpoint's file tracking. Per-batch row metrics land in
-``_metrics.json`` inside the batch partition (underscore files are invisible
-to parquet readers), extending the per-partition lineage story of
-plans/pipeline.py to the streaming edge.
+State store = a parquet directory partitioned by ``batch=<id>/bucket=<b>``
+(Iceberg analogue: a MERGE target table bucket-partitioned on the
+fingerprint; the batch dir is the snapshot). Each micro-batch OVERWRITES its
+own ``batch=`` partition, so a batch retried after a crash converges to the
+same store state — idempotent exactly-once on top of the streaming
+checkpoint's file tracking. Per-batch row metrics land in ``_metrics.json``
+inside the batch partition (underscore files are invisible to parquet
+readers), extending the per-partition lineage story of plans/pipeline.py to
+the streaming edge.
 
-Scale shape: per batch, fingerprint/signature computation rides the scan
-(codegen); the store join is an equi-join on fingerprint / band key (only
-keys + ids shuffle, never text); the store holds one tiny row per RETAINED
-doc. Reference analogue: the batch dedup family has none in GeoClimate (it
-is the LLM-pipeline extension); the resume/idempotence pattern mirrors the
+Scale shape — the O(history) fix: the store is HASH-BUCKETED
+(``bucket = fp_prefix % N_FP_BUCKETS`` for exact mode; LSH band-key buckets
+for the minhash band INDEX), and each micro-batch reads ONLY the buckets its
+own fingerprints hash into (a literal ``bucket IN (…)`` partition filter —
+Spark prunes the non-matching directories at planning time, asserted by
+tests/test_streaming_dedup.py). Per-batch store-read cost is therefore
+O(|history ∩ touched buckets|), not O(history); with more buckets than a
+batch touches, growth in untouched buckets is never scanned. Fingerprint/
+signature computation rides the scan (codegen); the store join is an
+equi-join on (bucket, fingerprint) / band key (only keys + ids shuffle,
+never text); the store holds one tiny row per RETAINED doc. Reference
+analogue: the batch dedup family has none in GeoClimate (it is the
+LLM-pipeline extension); the resume/idempotence pattern mirrors the
 table-cache in `/root/reference/geoindicators/.../Geoindicators.groovy:76-134`.
 """
 
@@ -48,24 +57,41 @@ from ..functions.text import normalize_col
 from ..operators import dedup as D
 
 EST_THRESHOLD = 0.8
+N_FP_BUCKETS = 16
+
+
+def _fp_bucket(fp_col):
+    """Deterministic store bucket from the hex fingerprint's first 4 chars —
+    the ``fp % K`` layout key (pure codegen, replayable anywhere)."""
+    return (F.conv(F.substring(fp_col, 1, 4), 16, 10).cast("long")
+            % N_FP_BUCKETS)
 
 
 def _read_store(spark: SparkSession, store_dir: str,
-                exclude_batch: int | None = None) -> DataFrame | None:
-    """The persisted store, MINUS the in-flight batch's own partition.
+                exclude_batch: int | None = None,
+                buckets: list[int] | None = None) -> DataFrame | None:
+    """The persisted store, MINUS the in-flight batch's own partition,
+    PRUNED to ``buckets`` when given.
 
     A batch retried after a crash (store/batch=N committed, out/batch=N
     not) must not see its previous attempt's fingerprints: the anti-join
     would drop the batch's own unique docs and the overwrite would then
     empty store/batch=N — silent loss. Excluding ``batch = exclude_batch``
     makes the retry read exactly the pre-batch state, so it converges to
-    the same store AND output as a clean first run."""
+    the same store AND output as a clean first run.
+
+    ``buckets`` is the batch's own (small, collected) bucket set: the
+    ``bucket IN (…)`` literal filter partition-prunes every other
+    ``bucket=`` directory at planning time, so store-read cost tracks the
+    batch's key space, not the store's history."""
     p = Path(store_dir)
     if not p.exists() or not any(p.glob("batch=*")):
         return None
     df = spark.read.parquet(store_dir)
     if exclude_batch is not None:
         df = df.where(F.col("batch") != exclude_batch)
+    if buckets is not None:
+        df = df.where(F.col("bucket").isin([int(b) for b in buckets]))
     return df
 
 
@@ -92,23 +118,31 @@ def exact_dedup_batch(batch: DataFrame, batch_id: int, store_dir: str,
     spark = batch.sparkSession
     batch = batch.persist()
     fp = F.md5(normalize_col(F.col(text_col)))
-    m = batch.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    m = batch.select(F.col(id_col).alias("id"), fp.alias("fp"),
+                     _fp_bucket(fp).alias("bucket"))
     n_in = batch.count()
-    canon = m.groupBy("fp").agg(F.min("id").alias("id"))
-    store = _read_store(spark, store_dir, exclude_batch=batch_id)
-    novel = (canon.join(store.select("fp"), "fp", "left_anti")
+    canon = (m.groupBy("fp", "bucket").agg(F.min("id").alias("id"))
+             .persist())
+    # the batch's own bucket set: ≤ N_FP_BUCKETS tiny rows — the collect
+    # that buys partition pruning of the whole store history
+    bks = [r["bucket"] for r in canon.select("bucket").distinct().collect()]
+    store = _read_store(spark, store_dir, exclude_batch=batch_id,
+                        buckets=bks)
+    novel = (canon.join(store.select("bucket", "fp"),
+                        ["bucket", "fp"], "left_anti")
              if store is not None else canon)
     novel = novel.persist()
     n_novel = novel.count()
-    novel.select("fp", "id").write.mode("overwrite").parquet(
-        f"{store_dir}/batch={batch_id}")
+    (novel.select("fp", "id", "bucket").write.partitionBy("bucket")
+     .mode("overwrite").parquet(f"{store_dir}/batch={batch_id}"))
     (batch.join(novel.select(F.col("id").alias(id_col)), id_col)
      .write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}"))
     _write_metrics(store_dir, batch_id, {
         "batch_id": batch_id, "mode": "exact", "rows_in": n_in,
-        "kept": n_novel, "dropped": n_in - n_novel})
-    novel.unpersist()
-    batch.unpersist()
+        "kept": n_novel, "dropped": n_in - n_novel,
+        "buckets_read": sorted(int(b) for b in bks)})
+    for df in (novel, canon, batch):
+        df.unpersist()
 
 
 # ----------------------------------------------------------------- minhash
@@ -122,6 +156,11 @@ def _band_long(sig: DataFrame) -> DataFrame:
     keys = F.array(*[D._band_key_col(b, D.LSH_ROWS)
                      for b in range(D.LSH_BANDS)])
     return sig.select("id", F.posexplode(keys).alias("band", "bk"))
+
+
+def _band_bucket(bk_col):
+    """Store bucket of an LSH band key (pmod — bk is a signed hash60)."""
+    return F.pmod(bk_col, F.lit(N_FP_BUCKETS)).cast("long")
 
 
 def _est_match(a_pfx: str, b_pfx: str):
@@ -152,15 +191,29 @@ def minhash_dedup_batch(batch: DataFrame, batch_id: int, store_dir: str,
                  .select(F.col("id_b").alias("id")).distinct())
     surv = sig.join(dropped_b, "id", "left_anti").persist()
     n_surv = surv.count()
-    # cross-batch: survivor dropped when any stored signature matches
-    store = _read_store(spark, store_dir, exclude_batch=batch_id)
-    if store is not None:
-        st = store.drop("batch")
-        cand2 = (_band_long(surv).alias("x")
-                 .join(_band_long(st).alias("y"), ["band", "bk"])
-                 .select(F.col("x.id").alias("id_n"),
-                         F.col("y.id").alias("id_s"))
+    # cross-batch: survivor dropped when any stored signature matches.
+    # Store layout = a band-key INDEX (sig_band/batch=N/bucket=B: one row
+    # per (id, band, bk), the big table — pruned to the batch's own band
+    # buckets) + the compact signature table (sig rows per retained doc,
+    # fetched only to verify index candidates).
+    sig_dir = f"{store_dir}/sig"
+    band_dir = f"{store_dir}/sig_band"
+    surv_bl = (_band_long(surv)
+               .withColumn("bucket", _band_bucket(F.col("bk"))).persist())
+    have_store = (Path(sig_dir).exists()
+                  and any(Path(sig_dir).glob("batch=*")))
+    if have_store:
+        bks = [int(r["bucket"]) for r in
+               surv_bl.select("bucket").distinct().collect()]
+        idx = (spark.read.parquet(band_dir)
+               .where(F.col("batch") != batch_id)
+               .where(F.col("bucket").isin(bks))
+               .select(F.col("id").alias("id_s"), "band", "bk", "bucket"))
+        cand2 = (surv_bl.join(idx, ["bucket", "band", "bk"])
+                 .select(F.col("id").alias("id_n"), "id_s")
                  .distinct())
+        st = (spark.read.parquet(sig_dir)
+              .where(F.col("batch") != batch_id).drop("batch"))
         dropped_x = (cand2.join(surv.alias("a"), F.col("id_n") == F.col("a.id"))
                      .join(st.alias("b"), F.col("id_s") == F.col("b.id"))
                      .where(_est_match("a", "b"))
@@ -170,14 +223,17 @@ def minhash_dedup_batch(batch: DataFrame, batch_id: int, store_dir: str,
         novel = surv
     novel = novel.persist()
     n_novel = novel.count()
-    novel.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+    novel.write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
+    (_band_long(novel).withColumn("bucket", _band_bucket(F.col("bk")))
+     .write.partitionBy("bucket").mode("overwrite")
+     .parquet(f"{band_dir}/batch={batch_id}"))
     (batch.join(novel.select(F.col("id").alias(id_col)), id_col)
      .write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}"))
     _write_metrics(store_dir, batch_id, {
         "batch_id": batch_id, "mode": "minhash", "rows_in": n_in,
         "within_dropped": n_in - n_surv, "cross_dropped": n_surv - n_novel,
         "kept": n_novel})
-    for df in (novel, surv, sig, batch):
+    for df in (novel, surv, surv_bl, sig, batch):
         df.unpersist()
 
 

@@ -26,7 +26,12 @@ def test_queries_have_oracles():
                          sorted(set(E.queries()) - set(E.oracle_sql())))
 def test_non_oracle_queries_run(spark, name):
     """Rows-only queries (no SQL oracle) must still execute and yield rows
-    with a stable schema — the driver's weaker check."""
+    with a stable schema — the driver's weaker check.
+
+    NOTE: every query currently HAS an oracle, so the parameter set is
+    empty and pytest reports this as the suite's single intentional SKIP
+    ("got empty parameter set"). The test stays: it self-arms the moment a
+    rows-only query is ever added."""
     df = E.queries()[name](spark, SF_SMOKE)
     rows = df.collect()
     assert len(rows) > 0

@@ -138,3 +138,51 @@ def test_retry_of_committed_store_partition_is_idempotent(spark, tmp_path):
         r.fp for r in spark.read.parquet(f"{store}/batch=1").collect())
     assert kept_after == kept_before
     assert store_after == store_before
+
+
+def test_store_read_prunes_to_batch_buckets(spark, tmp_path):
+    """The O(history) fix: a batch's store read must touch ONLY the
+    bucket= directories its own fingerprints hash into — proven at the
+    file level (input_file_name) and at the plan level (PartitionFilters,
+    i.e. pruning happens at listing time, not as a post-scan filter)."""
+    import contextlib
+    import io
+
+    from geoclimate_spark.streaming.dedup import (
+        N_FP_BUCKETS, _read_store, exact_dedup_batch)
+
+    d = _docs(spark)
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    exact_dedup_batch(d.where(F.col("doc_id") < 200), 0, store, out)
+    exact_dedup_batch(
+        d.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)),
+        1, store, out)
+
+    full = _read_store(spark, store)
+    all_buckets = sorted(
+        int(r.bucket) for r in full.select("bucket").distinct().collect())
+    assert len(all_buckets) > 2  # store spans many buckets — non-vacuous
+    want = all_buckets[:2]
+
+    pruned = _read_store(spark, store, buckets=want)
+    files = [r[0] for r in
+             pruned.select(F.input_file_name()).distinct().collect()]
+    assert files
+    assert all(any(f"/bucket={b}/" in f for b in want) for f in files)
+    # other buckets exist on disk but must not be listed by the scan
+    other_files = [r[0] for r in
+                   full.select(F.input_file_name()).distinct().collect()]
+    assert any(all(f"/bucket={b}/" not in f for b in want)
+               for f in other_files)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:300]
+
+    # metrics record which buckets each batch read
+    mets = sd.dedup_metrics(store)
+    assert all(0 <= b < N_FP_BUCKETS
+               for m in mets for b in m["buckets_read"])
