@@ -1070,12 +1070,27 @@ def _q_wkb_layer_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     vtx = wkb_src.decode_wkb_vertices(
         wkb_src.wkb_feature_layer_df(spark), id_col="feat_id",
         keep=("layer",), scale=1.0)
+    # persist: the overlay consumes the vertex layer in 5 subtrees (both
+    # PIP sides, crossings, bbox candidates, layer dim) — without it each
+    # broadcast re-runs the whole decode
     fvtx = (vtx.where((F.col("part") == 0) & (F.col("ring") == 0))
-            .select("feat_id", "layer", "seq", "x", "y"))
+            .select("feat_id", "layer", "seq", "x", "y").persist())
     pairs = polygon_overlay.convex_pair_areas(
         layers.poly_zone_vertices_df(spark), fvtx)
     return polygon_overlay.layer_cover(pairs,
                                        layers.poly_zone_vertices_df(spark))
+
+
+def _q_wkb_hole_net_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB MultiPolygon-with-holes decode driver-verified end-to-end:
+    multi-part features with CW holes arrive as WKB bytes, decode + snap,
+    then exact integer shoelace net areas (outer − holes) per feature —
+    the ST_AREA-on-real-polygons parity op. The oracle computes from the
+    integer vertex VALUES, so part/ring indexing and hole winding are all
+    hash-gated."""
+    vtx = wkb_src.decode_wkb_vertices(
+        wkb_src.wkb_multipoly_layer_df(spark), id_col="feat_id", scale=1.0)
+    return wkb_src.ring_net_areas(vtx)
 
 
 def _q_rf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- block 0: NEW in round 4 (never driver-verified) --
         "wkb_zone_layer_cover": _q_wkb_layer_cover,
+        "wkb_hole_net_areas": _q_wkb_hole_net_areas,
         "rf_trained_classification": _q_rf_trained,
         "estimated_attribute_rollup": _q_estimated_rollup,
         "population_multilevel": _q_population_multilevel,
@@ -1319,6 +1335,8 @@ def oracle_sql() -> dict[str, str]:
                 layers.poly_zone_vertices_values_sql(),
                 layers.poly_feature_vertices_values_sql()),
             layers.poly_zone_vertices_values_sql()),
+        "wkb_hole_net_areas": wkb_src.ring_net_areas_sql(
+            wkb_src.multipoly_vertices_values_sql()),
         "rf_trained_classification": classify.classify_tree_ensemble_sql(
             "SELECT bld_id, area, perim, elong FROM ("
             + train.synth_buildings_values_sql() + ")",

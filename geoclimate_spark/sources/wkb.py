@@ -35,6 +35,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _WKB_POLYGON = 3
 _WKB_MULTIPOLYGON = 6
@@ -172,9 +173,130 @@ def decode_wkb_vertices(geoms: DataFrame, id_col: str = "feat_id",
     return geoms.mapInPandas(run, schema)
 
 
+# ------------------------------------------------------------- ring areas
+def ring_net_areas(vtx: DataFrame, id_col: str = "feat_id") -> DataFrame:
+    """Net polygon area from decoded (id, part, ring, seq, x, y) vertex
+    rows: Σ_parts (|outer ring| − Σ |holes|), twice-area in exact int64
+    (integer shoelace — order-independent, no double Σ anywhere). The
+    ST_AREA-on-polygons-with-holes parity op
+    (`GenericIndicators.groovy:241`); holes may be wound either way.
+
+    Returns (id, n_parts, n_holes, net_area2) with net_area2 = 2·area in
+    grid units²."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col, "part", "ring").orderBy("seq")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e = vtx.select(
+        id_col, "part", "ring",
+        F.col("x").alias("ex"), F.col("y").alias("ey"),
+        F.coalesce(F.lead("x").over(w), F.first("x").over(wf)).alias("exn"),
+        F.coalesce(F.lead("y").over(w), F.first("y").over(wf)).alias("eyn"))
+    per_ring = (e.groupBy(id_col, "part", "ring")
+                .agg(F.sum(F.col("ex") * F.col("eyn")
+                           - F.col("exn") * F.col("ey")).alias("a2")))
+    signed = F.when(F.col("ring") == 0, F.abs(F.col("a2"))) \
+        .otherwise(-F.abs(F.col("a2")))
+    return (per_ring.groupBy(id_col)
+            .agg(F.countDistinct("part").cast("long").alias("n_parts"),
+                 F.sum(F.when(F.col("ring") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_holes"),
+                 F.sum(signed).cast("long").alias("net_area2")))
+
+
+def ring_net_areas_sql(vtx_sql: str, id_col: str = "feat_id") -> str:
+    return f"""WITH vtx AS ({vtx_sql}),
+e AS (SELECT {id_col}, part, ring, x AS ex, y AS ey,
+       COALESCE(LEAD(x) OVER (PARTITION BY {id_col}, part, ring ORDER BY seq),
+         FIRST_VALUE(x) OVER (PARTITION BY {id_col}, part, ring ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS exn,
+       COALESCE(LEAD(y) OVER (PARTITION BY {id_col}, part, ring ORDER BY seq),
+         FIRST_VALUE(y) OVER (PARTITION BY {id_col}, part, ring ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS eyn
+  FROM vtx),
+per_ring AS (SELECT {id_col}, part, ring, SUM(ex * eyn - exn * ey) AS a2
+  FROM e GROUP BY 1, 2, 3)
+SELECT {id_col}, CAST(COUNT(DISTINCT part) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN ring > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_holes,
+       CAST(SUM(CASE WHEN ring = 0 THEN ABS(a2) ELSE -ABS(a2) END) AS BIGINT)
+         AS net_area2
+FROM per_ring GROUP BY {id_col}"""
+
+
 # ---------------------------------------------------------------- fixtures
 def _lcg(s: int) -> int:
     return (s * 48_271 + 11) % 2_147_483_647
+
+
+N_MULTIPOLY = 48
+
+
+def synth_multipoly_rows(n: int = N_MULTIPOLY) -> list[tuple[int, int, int, int, int, int]]:
+    """(feat_id, part, ring, seq, x, y) — deterministic MULTI-part features
+    with holes: each feature has 1–2 rect parts; each part carries 0–1
+    strictly-interior rect hole (CW — the decoder must not care about hole
+    winding). Integer coords in a ±500k patch."""
+    rows = []
+    s = 77_177
+    for fid in range(n):
+        s = _lcg(s)
+        n_parts = 1 + s % 2
+        for part in range(n_parts):
+            s = _lcg(s); x0 = s % 900_001 - 450_000
+            s = _lcg(s); y0 = s % 900_001 - 450_000
+            s = _lcg(s); w = 20_000 + s % 60_000
+            s = _lcg(s); h = 20_000 + s % 60_000
+            outer = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            rows += [(fid, part, 0, k, x, y)
+                     for k, (x, y) in enumerate(outer)]
+            s = _lcg(s)
+            if s % 3:  # hole in 2/3 of parts, quarter-size, centered-ish
+                hx0, hy0 = x0 + w // 4, y0 + h // 4
+                hw, hh = w // 4, h // 4
+                hole = [(hx0, hy0), (hx0, hy0 + hh),       # CW winding
+                        (hx0 + hw, hy0 + hh), (hx0 + hw, hy0)]
+                rows += [(fid, part, 1, k, x, y)
+                         for k, (x, y) in enumerate(hole)]
+    return rows
+
+
+def wkb_multipoly_layer_df(spark, srid: int = 4326) -> DataFrame:
+    """The multi-part fixture serialized as WKB MultiPolygon bytes with the
+    same deterministic sub-snap jitter as the convex layer."""
+    feats: dict[int, dict[int, dict[int, list]]] = {}
+    for fid, part, ring, seq, x, y in synth_multipoly_rows():
+        feats.setdefault(fid, {}).setdefault(part, {}).setdefault(
+            ring, []).append((x, y))
+    rows = []
+    s = 99_991
+    for fid in sorted(feats):
+        polys = []
+        for part in sorted(feats[fid]):
+            rings = []
+            for ring in sorted(feats[fid][part]):
+                arr = np.empty((len(feats[fid][part][ring]), 2), np.float64)
+                for i, (x, y) in enumerate(feats[fid][part][ring]):
+                    s = _lcg(s)
+                    jx = (s % 401 - 200) / 1000.0
+                    s = _lcg(s)
+                    jy = (s % 401 - 200) / 1000.0
+                    arr[i] = (x + jx, y + jy)
+                rings.append(arr)
+            polys.append(rings)
+        rows.append((fid, srid, bytearray(multipolygon_wkb(polys))))
+    return spark.createDataFrame(
+        rows, "feat_id long, srid int, geom_wkb binary")
+
+
+def multipoly_vertices_values_sql() -> str:
+    vals = ",\n  ".join(f"({f}, {p}, {r}, {s}, {x}, {y})"
+                        for f, p, r, s, x, y in synth_multipoly_rows())
+    return ("SELECT CAST(feat_id AS BIGINT) AS feat_id,"
+            " CAST(part AS BIGINT) AS part, CAST(ring AS BIGINT) AS ring,"
+            " CAST(seq AS BIGINT) AS seq,"
+            " CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y"
+            " FROM (VALUES\n  " + vals
+            + "\n) AS t(feat_id, part, ring, seq, x, y)")
 
 
 def wkb_feature_layer_df(spark, srid: int = 4326) -> DataFrame:

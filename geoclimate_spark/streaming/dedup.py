@@ -120,12 +120,14 @@ def exact_dedup_batch(batch: DataFrame, batch_id: int, store_dir: str,
     fp = F.md5(normalize_col(F.col(text_col)))
     m = batch.select(F.col(id_col).alias("id"), fp.alias("fp"),
                      _fp_bucket(fp).alias("bucket"))
-    n_in = batch.count()
-    canon = (m.groupBy("fp", "bucket").agg(F.min("id").alias("id"))
-             .persist())
-    # the batch's own bucket set: ≤ N_FP_BUCKETS tiny rows — the collect
-    # that buys partition pruning of the whole store history
-    bks = [r["bucket"] for r in canon.select("bucket").distinct().collect()]
+    # ONE tiny action (≤ N_FP_BUCKETS rows) yields both the row count AND
+    # the bucket set that buys partition pruning of the whole store history
+    # — a separate batch.count() + distinct-collect would add two jobs of
+    # pure per-batch latency
+    bk_stats = m.groupBy("bucket").agg(F.count("*").alias("_n")).collect()
+    bks = sorted(int(r["bucket"]) for r in bk_stats)
+    n_in = int(sum(r["_n"] for r in bk_stats))
+    canon = m.groupBy("fp", "bucket").agg(F.min("id").alias("id"))
     store = _read_store(spark, store_dir, exclude_batch=batch_id,
                         buckets=bks)
     novel = (canon.join(store.select("bucket", "fp"),
@@ -140,8 +142,8 @@ def exact_dedup_batch(batch: DataFrame, batch_id: int, store_dir: str,
     _write_metrics(store_dir, batch_id, {
         "batch_id": batch_id, "mode": "exact", "rows_in": n_in,
         "kept": n_novel, "dropped": n_in - n_novel,
-        "buckets_read": sorted(int(b) for b in bks)})
-    for df in (novel, canon, batch):
+        "buckets_read": bks})
+    for df in (novel, batch):
         df.unpersist()
 
 

@@ -74,6 +74,29 @@ def test_fixture_decode_recovers_exact_vertex_layer(spark):
     assert got == exp
 
 
+def test_multipoly_fixture_decode_recovers_parts_and_holes(spark):
+    vtx = W.decode_wkb_vertices(W.wkb_multipoly_layer_df(spark),
+                                id_col="feat_id", scale=1.0)
+    got = sorted((int(r.feat_id), int(r.part), int(r.ring), int(r.seq),
+                  int(r.x), int(r.y)) for r in vtx.collect())
+    assert got == sorted(W.synth_multipoly_rows())
+    # fixture is non-trivial: some feature has 2 parts, some ring is a hole
+    assert any(p == 1 for _, p, _, _, _, _ in got)
+    assert any(r == 1 for _, _, r, _, _, _ in got)
+
+
+def test_ring_net_areas_rect_with_hole(spark):
+    """40×10 outer with a 4×2 hole: net 2·area = 2·(400−8) = 784."""
+    rows = ([(7, 0, 0, k, x, y) for k, (x, y) in
+             enumerate([(0, 0), (40, 0), (40, 10), (0, 10)])]
+            + [(7, 0, 1, k, x, y) for k, (x, y) in
+               enumerate([(1, 1), (1, 3), (5, 3), (5, 1)])])  # CW hole
+    vtx = spark.createDataFrame(
+        rows, "feat_id long, part long, ring long, seq long, x long, y long")
+    out = W.ring_net_areas(vtx).collect()[0]
+    assert (out.n_parts, out.n_holes, out.net_area2) == (1, 1, 784)
+
+
 def test_decode_is_mapinpandas_not_python_udf(spark):
     """The decode must ride the scan as an Arrow batch op — no
     row-at-a-time BatchEvalPython in the plan."""
