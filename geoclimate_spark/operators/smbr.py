@@ -312,13 +312,18 @@ def smbr_direction_weights(smbr: DataFrame) -> DataFrame:
     ln = F.sqrt(F.col("len2").cast("double"))
     # perpendicular of (dx, dy) is (-dy, dx); renormalize to upper half
     pdx, pdy = _norm_dir(-F.col("dy"), F.col("dx"))
-    along = smbr.select(
-        "component", sector_bin_col(F.col("dx"), F.col("dy")).alias("bin"),
-        F.floor(F.col("d_p").cast("double") / ln).cast("long").alias("w"))
-    perp = smbr.select(
-        "component", sector_bin_col(pdx, pdy).alias("bin"),
-        F.floor(F.col("d_c").cast("double") / ln).cast("long").alias("w"))
-    return along.unionByName(perp)
+    # ONE projection emitting both rows via array+explode: a union of two
+    # selects would evaluate the upstream (the Arrow group pass) twice
+    rows = F.array(
+        F.struct(
+            sector_bin_col(F.col("dx"), F.col("dy")).alias("bin"),
+            F.floor(F.col("d_p").cast("double") / ln).cast("long").alias("w")),
+        F.struct(
+            sector_bin_col(pdx, pdy).alias("bin"),
+            F.floor(F.col("d_c").cast("double") / ln).cast("long").alias("w")))
+    return (smbr.select("component", F.explode(rows).alias("_r"))
+            .select("component", F.col("_r.bin").alias("bin"),
+                    F.col("_r.w").alias("w")))
 
 
 def smbr_sql(comp_pts_sql: str) -> str:

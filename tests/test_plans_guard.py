@@ -108,3 +108,27 @@ def test_covering_join_sites_no_nested_loop(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_round4_operator_plans(spark):
+    """Round-4 operators: WKB decode feeds the overlay without cartesian /
+    BNLJ / row-wise Python; the population cascade is three covering
+    equi-joins; SVF is a kring equi-join; the trained-forest apply is a
+    pure projection (no join at all); SMBR is one Arrow group pass (no
+    pair self-join node anymore)."""
+    import __spark_entry__ as E
+    for name in ("wkb_zone_layer_cover", "wkb_hole_net_areas",
+                 "population_multilevel", "zone_svf_points",
+                 "rf_trained_classification", "estimated_attribute_rollup",
+                 "smbr_direction_distribution"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # trained-forest inference must stay a join-free codegen projection
+    rf_plan = _plan(E.queries()["rf_trained_classification"](spark, SF))
+    assert "Join" not in rf_plan
+    # SMBR: the old pair self-join + extent join are gone — exactly one
+    # grouped Arrow pass (FlatMapGroupsInPandas) feeds the weights stage
+    smbr_plan = _plan(E.queries()["smbr_direction_distribution"](spark, SF))
+    assert smbr_plan.count("FlatMapGroupsInPandas") == 1
