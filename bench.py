@@ -112,7 +112,8 @@ def main() -> None:
         compact["scaling"] = {k: s[k] for k in (
             "n_pages", "cores_small", "cores_big", "throughput_small",
             "throughput_big", "scaling_efficiency",
-            "median_pair_efficiency", "pass") if k in s}
+            "median_pair_efficiency", "subsat_2v8_median",
+            "subsat_2v8_best", "pass") if k in s}
     if "prev_rounds" in result:
         # headline numbers ONLY — the full per-round records grow each round
         # and would eventually push the compact line past the 2000-char
