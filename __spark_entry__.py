@@ -898,6 +898,56 @@ def _q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator driver-verified end-to-end:
+    gap-threshold sessionization via ``applyInPandasWithState``
+    (streaming/stateful.py) over TWO availableNow drains with a parquet
+    sink. Chunk 1 = events before the event-time midpoint, chunk 2 = the
+    rest, so every per-user open session at the chunk boundary lives ONLY
+    in the checkpointed group state — drain 2 resumes it, and any session
+    spanning the boundary hashes correctly only if state recovery works.
+    Emitted rows over a fully drained input = the batch sessionization
+    minus each user's final (still-open) session, which is the exact
+    DuckDB oracle (windows.emitted_sessions_sql)."""
+    import shutil
+    import tempfile
+
+    from pathlib import Path as _P
+
+    from geoclimate_spark.streaming import stateful
+
+    tmp = _P(tempfile.mkdtemp(prefix="gc_stream_sess_"))
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+        mid = b["lo"] + (b["hi"] - b["lo"]) / 2
+        (ev.where(F.col("ts") < F.lit(mid))
+         .write.mode("overwrite").parquet(str(tmp / "in" / "chunk1")))
+
+        def drain():
+            sess = stateful.sessionize_stream(
+                spark.readStream.schema(ev.schema).parquet(str(tmp / "in" / "*")),
+                SESSION_GAP_SEC)
+            q = (sess.writeStream.format("parquet")
+                 .option("path", str(tmp / "out"))
+                 .option("checkpointLocation", str(tmp / "ck"))
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        drain()
+        (ev.where(F.col("ts") >= F.lit(mid))
+         .write.mode("overwrite").parquet(str(tmp / "in" / "chunk2")))
+        drain()
+        # detach from tmp before the finally-rmtree — the driver collects
+        # AFTER this function returns (schema given: a zero-session drain
+        # leaves only the sink's _spark_metadata, which cannot self-infer)
+        return (spark.read.schema(stateful.OUT_SCHEMA)
+                .parquet(str(tmp / "out"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------ round-3 operators
 RESIZE_W = RESIZE_H = 8
 FRAME_EVERY_N = 5
@@ -1165,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "estimated_attribute_rollup": _q_estimated_rollup,
         "population_multilevel": _q_population_multilevel,
         "zone_svf_points": _q_zone_svf,
+        "streaming_sessions": _q_streaming_sessions,  # applyInPandasWithState (r4)
         # -- block 1: engine/oracle changed in round 4 --
         "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
         "smbr_direction_distribution": _q_smbr_direction,  # calipers path (r4)
@@ -1432,6 +1483,7 @@ GROUP BY 1""",
         "embedding_near_dup_lsh": similarity.cosine_pairs_lsh_sql(EMB_DUP_T),
         "event_window_agg": windows.tumbling_window_agg_sql(WINDOW_SEC),
         "event_sessions": windows.sessionize_sql(SESSION_GAP_SEC),
+        "streaming_sessions": windows.emitted_sessions_sql(SESSION_GAP_SEC),
         "media_metadata": media.media_metadata_oracle_sql(),
         "zone_geometry_props": geom_props.geometry_props_oracle_sql(),
         "road_zone_stats": roads.road_zone_stats_sql(

@@ -113,3 +113,18 @@ SELECT {user}, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
        MAX(us) - MIN(us) AS duration_us
 FROM sess GROUP BY {user}, session_id"""
+
+
+def emitted_sessions_sql(gap_sec: int, rel: str = "events",
+                         user: str = "user_id", ts: str = "ts",
+                         id_col: str = "event_id") -> str:
+    """Oracle for the STREAMING sessionizer
+    (:func:`geoclimate_spark.streaming.stateful.sessionize_stream`): the
+    stream emits a session only when a gap CLOSES it, so over a fully
+    drained input the emitted rows are exactly the batch sessionization
+    minus each user's final (still-open-in-state) session."""
+    inner = sessionize_sql(gap_sec, rel, user, ts, id_col)
+    return f"""WITH s AS ({inner}),
+mx AS (SELECT {user}, MAX(session_id) AS last_sid FROM s GROUP BY {user})
+SELECT s.{user}, s.session_id, s.n_events, s.start_us, s.end_us, s.duration_us
+FROM s JOIN mx USING ({user}) WHERE s.session_id < mx.last_sid"""
