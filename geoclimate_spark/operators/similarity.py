@@ -662,3 +662,238 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY cos DESC, {id_col} ASC) AS rank FROM cand)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, cos
 FROM ranked WHERE rank <= {k}"""
+
+
+# --------------------------------------------------------------- IVF-PQ
+# Product quantization completes the ANN scale ladder (brute → LSH → IVF →
+# IVF-PQ): the inverted-list scan reads only M small codes + one norm per
+# vector (the classic ADC scan), and full vectors are fetched ONLY for the
+# top ``rerank*k`` candidates per query (exact re-rank). At 10^12 rows the
+# code table is ~1% the bytes of the vector table, so the scan is I/O-bound
+# on codes, and the rerank fetch is a k-bounded point lookup — the same
+# candidate-generation/exact-refine shape as the reference's grid-cell kNN
+# (`BuildingIndicators.groovy:299-427`), one level more compressed.
+
+PQ_SUB = 16     # subspaces (64-dim fixture -> 4 dims each)
+PQ_CODES = 8    # codewords per subspace (codebook inlined as literals)
+PQ_RERANK = 8   # exact-rerank pool = PQ_RERANK * k per query
+
+
+def pq_codebooks(n_sub: int, n_codes: int,
+                 dim: int) -> list[list[list[float]]]:
+    """±1 per-subspace codewords from md5 — the deterministic stand-in for
+    per-subspace k-means codebooks (train offline, inline as literals; the
+    same offline-fit stance as :func:`centroid_coeffs`). With equal-norm ±1
+    codewords, argmin L2 == argmax dot, so encoding is a pure dot argmax."""
+    sub = dim // n_sub
+    out = []
+    for s in range(n_sub):
+        rows = []
+        for c in range(n_codes):
+            rows.append([
+                float((int(hashlib.md5(
+                    f"pq{s}:{c}:{d}".encode()).hexdigest()[:15], 16) & 1)
+                    * 2 - 1)
+                for d in range(sub)])
+        out.append(rows)
+    return out
+
+
+def _dot_sparkexpr(a: str, row: list[float]) -> str:
+    """Spark-SQL string dual of :func:`_dot` against a literal codeword —
+    the same aggregate(zip_with(..)) left fold, built as ONE parsed string
+    so plan construction is a single py4j call instead of thousands
+    (measured: Column-object composition cost ~8 s of driver time for the
+    PQ expressions; string form is milliseconds, identical Catalyst tree)."""
+    arr = "array(" + ", ".join(f"{x!r}D" for x in row) + ")"
+    return (f"aggregate(zip_with({a}, {arr}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _pq_codes_exprs(books: list[list[list[float]]],
+                    sub: int) -> tuple[dict, str]:
+    """Per-subspace code = index of the max dot (FIRST occurrence on ties =
+    lowest-index tie-break, identical to the _centroid_col chain). Returns
+    ({_pqd<s>: dot-array Column}, codes array expr over those columns) so
+    each codeword dot-fold appears exactly once in the plan."""
+    darrs = {}
+    cols = []
+    for s, book in enumerate(books):
+        sv = f"slice(v, {s * sub + 1}, {sub})"
+        darrs[f"_pqd{s}"] = F.expr(
+            "array(" + ", ".join(_dot_sparkexpr(sv, row) for row in book)
+            + ")")
+        cols.append(f"CAST(array_position(_pqd{s}, array_max(_pqd{s})) - 1 "
+                    "AS BIGINT)")
+    return darrs, "array(" + ", ".join(cols) + ")"
+
+
+def _pq_codes_sql(vec: str, books: list[list[list[float]]],
+                  sub: int) -> tuple[str, str]:
+    """Returns (aliased intermediate dot-array columns, codes list expr) —
+    the dot arrays ride DuckDB lateral column aliases so each codeword dot
+    appears exactly once, mirroring the engine's linear tree."""
+    aliases = []
+    cols = []
+    for s, book in enumerate(books):
+        sv = f"({vec})[{s * sub + 1}:{(s + 1) * sub}]"
+        darr = "[" + ", ".join(
+            _DOT_SQL.format(
+                a=sv, b="[" + ", ".join(repr(x) for x in row) + "]")
+            for row in book) + "]"
+        aliases.append(f"{darr} AS _pqd{s}")
+        cols.append(f"CAST(list_position(_pqd{s}, "
+                    f"list_aggregate(_pqd{s}, 'max')) - 1 AS BIGINT)")
+    return ", ".join(aliases), "[" + ", ".join(cols) + "]"
+
+
+def _pq_lut_col(books: list[list[list[float]]], sub: int) -> Column:
+    """Per-query ADC lookup table over column ``v``: dot(q_subvector,
+    codeword) for every (subspace, codeword), flattened subspace-major —
+    128 doubles at the defaults, computed once per query before the probe
+    fan-out."""
+    ents = []
+    for s, book in enumerate(books):
+        sv = f"slice(v, {s * sub + 1}, {sub})"
+        for row in book:
+            ents.append(_dot_sparkexpr(sv, row))
+    return F.expr("array(" + ", ".join(ents) + ")")
+
+
+def _pq_lut_sql(qv: str, books: list[list[list[float]]], sub: int) -> str:
+    ents = []
+    for s, book in enumerate(books):
+        sv = f"({qv})[{s * sub + 1}:{(s + 1) * sub}]"
+        for row in book:
+            ents.append(_DOT_SQL.format(
+                a=sv, b="[" + ", ".join(repr(x) for x in row) + "]"))
+    return "[" + ", ".join(ents) + "]"
+
+
+def ivf_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                n_centroids: int = N_CENTROIDS, dim: int = 64,
+                nprobe: int = 3, n_sub: int = PQ_SUB,
+                n_codes: int = PQ_CODES, rerank: int = PQ_RERANK,
+                id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """IVF-PQ top-k with exact re-rank: coarse IVF lists (nprobe nearest
+    centroids per query), an ADC scan that touches ONLY (id, cluster,
+    codes[n_sub], nrm) per candidate — approximate cosine =
+    sum_s lut[codes[s]] / (|q|·|x|) via the per-query lookup table — then
+    full vectors are fetched for just the top ``rerank*k`` ADC candidates
+    and re-ranked by exact cosine. Deterministic end-to-end: ADC ties break
+    by candidate id, the exact stage reuses cosine_topk's (cos DESC, id)
+    rule, and the returned ``cos`` is EXACT (comparable across ANN ops).
+
+    Scale shape: codes ride the inverted list (Iceberg partition by
+    cluster → probes are partition-pruned scans of ~n_sub bytes/vector);
+    the rerank is a broadcast semi-join of q*rerank*k ids against the
+    vector table. Query-side fan-out (probes, LUT) is broadcast-only."""
+    cents = centroid_coeffs(n_centroids, dim)
+    books = pq_codebooks(n_sub, n_codes, dim)
+    sub = dim // n_sub
+    # the centroid-dots array does double duty: argmax-position = cluster
+    # assignment (first-occurrence-of-max == _centroid_col's lowest-index
+    # tie-break), posexplode = the probe ranking dots
+    cdots = F.expr("array(" + ", ".join(
+        _dot_sparkexpr("v", row) for row in cents) + ")")
+    base = (_with_norm(emb, id_col, vec)
+            .withColumn("_cd", cdots)
+            .withColumn("cluster", F.expr(
+                "CAST(array_position(_cd, array_max(_cd)) - 1 AS BIGINT)")))
+    darrs, codes_expr = _pq_codes_exprs(books, sub)
+    # compact ADC side: codes + norm only — the full vector is NOT carried
+    codes_side = (base.withColumns(darrs)
+                  .withColumn("codes", F.expr(codes_expr))
+                  .select("id", "cluster", "nrm", "codes"))
+    qside = (base.where(F.col("id").isin(query_ids))
+             .withColumn("lut", _pq_lut_col(books, sub)))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("_dot").desc(), F.col("cluster").asc())
+    probes = F.broadcast(
+        qside.select(F.col("id").alias("query_id"), F.col("nrm").alias("qn"),
+                     F.col("lut"),
+                     F.posexplode(F.col("_cd")).alias("cluster", "_dot"))
+        .withColumn("_pr", F.row_number().over(pw))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qn", "lut",
+                F.col("cluster").cast("long").alias("cluster")))
+    adc = None
+    for s in range(n_sub):
+        idx = (F.lit(s * n_codes + 1)
+               + F.element_at(F.col("codes"), s + 1)).cast("int")
+        t = F.element_at(F.col("lut"), idx)
+        adc = t if adc is None else adc + t
+    cand = (probes.join(codes_side, "cluster")
+            .where(F.col("id") != F.col("query_id"))
+            .select("query_id", F.col("id").alias(id_col),
+                    (adc / (F.col("qn") * F.col("nrm"))).alias("adc")))
+    aw = Window.partitionBy("query_id").orderBy(F.col("adc").desc(),
+                                                F.col(id_col).asc())
+    pool = (cand.withColumn("_ar", F.row_number().over(aw))
+            .where(F.col("_ar") <= rerank * k)
+            .select("query_id", id_col))
+    # exact re-rank: fetch full vectors for the pooled ids only
+    qfull = F.broadcast(qside.select(F.col("id").alias("query_id"),
+                                     F.col("v").alias("qv"),
+                                     F.col("nrm").alias("qn")))
+    exact = (F.broadcast(pool).join(
+        base.select(F.col("id").alias(id_col), "v", "nrm"), id_col)
+        .join(qfull, "query_id")
+        .select("query_id", id_col,
+                (_dot(F.col("qv"), F.col("v"))
+                 / (F.col("qn") * F.col("nrm"))).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col(id_col).asc())
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    id_col, "cos"))
+
+
+def ivf_pq_topk_sql(query_ids: list[int], k: int = 5,
+                    n_centroids: int = N_CENTROIDS, dim: int = 64,
+                    nprobe: int = 3, n_sub: int = PQ_SUB,
+                    n_codes: int = PQ_CODES, rerank: int = PQ_RERANK,
+                    rel: str = "embeddings", id_col: str = "vec_id",
+                    vec: str = "embedding") -> str:
+    cents = centroid_coeffs(n_centroids, dim)
+    books = pq_codebooks(n_sub, n_codes, dim)
+    sub = dim // n_sub
+    ids = ", ".join(str(i) for i in query_ids)
+    nrm = _DOT_SQL.format(a=vec, b=vec)
+    arms = "\nUNION ALL ".join(
+        f"SELECT query_id, qn, lut, CAST({i} AS BIGINT) AS cluster, "
+        f"{_DOT_SQL.format(a='qv', b='[' + ', '.join(repr(x) for x in row) + ']')} AS dot "
+        f"FROM q0"
+        for i, row in enumerate(cents))
+    adc = " + ".join(
+        f"lut[{s * n_codes} + codes[{s + 1}] + 1]" for s in range(n_sub))
+    dot_aliases, codes_expr = _pq_codes_sql(vec, books, sub)
+    return f"""WITH base AS (SELECT {id_col} AS id, {vec}, SQRT({nrm}) AS nrm,
+       {_centroid_sql(vec, cents)} AS cluster,
+       {dot_aliases},
+       {codes_expr} AS codes FROM {rel}),
+q0 AS (SELECT id AS query_id, {vec} AS qv, nrm AS qn,
+       {_pq_lut_sql(vec, books, sub)} AS lut
+  FROM base WHERE id IN ({ids})),
+qdots AS ({arms}),
+probes AS (SELECT query_id, qn, lut, cluster FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY dot DESC, cluster ASC) AS pr FROM qdots) WHERE pr <= {nprobe}),
+cand AS (SELECT p.query_id, c.id AS {id_col},
+         ({adc}) / (p.qn * c.nrm) AS adc
+  FROM probes p JOIN base c ON c.cluster = p.cluster
+  WHERE c.id != p.query_id),
+pool AS (SELECT query_id, {id_col} FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY adc DESC, {id_col} ASC) AS ar FROM cand)
+  WHERE ar <= {rerank * k}),
+exact AS (SELECT t.query_id, t.{id_col},
+          {_DOT_SQL.format(a='q.qv', b='c.' + vec)} / (q.qn * c.nrm) AS cos
+  FROM pool t JOIN base c ON c.id = t.{id_col}
+  JOIN q0 q ON q.query_id = t.query_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, {id_col} ASC) AS rank FROM exact)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, cos
+FROM ranked WHERE rank <= {k}"""

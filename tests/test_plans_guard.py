@@ -120,7 +120,7 @@ def test_round4_operator_plans(spark):
     for name in ("wkb_zone_layer_cover", "wkb_hole_net_areas",
                  "population_multilevel", "zone_svf_points",
                  "rf_trained_classification", "estimated_attribute_rollup",
-                 "smbr_direction_distribution"):
+                 "smbr_direction_distribution", "ann_topk_ivf_pq"):
         plan = _plan(E.queries()[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
