@@ -35,9 +35,10 @@ from geoclimate_spark.operators import distribution as dist_op
 from geoclimate_spark.operators import (asof, classify, components,
                                         contamination, curation, facade,
                                         griddist, knn, noise,
-                                        overlay, polygon_overlay, repetition,
-                                        smbr, raster, roads, similarity,
-                                        skew, svf, train, windows, zonal)
+                                        overlay, pii, polygon_overlay,
+                                        repetition, smbr, raster, roads,
+                                        similarity, skew, svf, train,
+                                        windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
@@ -255,6 +256,16 @@ def _q_ann_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out on the broadcast query side only, lists partition-pruned."""
     return similarity.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K,
                                nprobe=3)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (r4): emails/phones/IPv4 counted and redacted in one
+    codegen projection — no shuffle, no UDF. The synthetic corpus has no
+    PII, so a deterministic doc_id-derived injection (byte-identical on
+    both sides) makes counts, redacted length AND the md5 of the redacted
+    text hash-gated."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pii.scrub_pii(pii.with_synthetic_pii(docs))
 
 
 def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1227,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_svf_points": _q_zone_svf,
         "streaming_sessions": _q_streaming_sessions,  # applyInPandasWithState (r4)
         "ann_topk_ivf_pq": _q_ann_ivf_pq,  # product-quantized ADC + rerank (r4)
+        "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
         # -- block 1: engine/oracle changed in round 4 --
         "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
         "smbr_direction_distribution": _q_smbr_direction,  # calipers path (r4)
@@ -1467,6 +1479,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "raster_zonal_stats": raster.raster_zonal_stats_sql(),
         "page_raster_value": _page_raster_oracle_sql(),
         "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(ANN_QUERY_IDS, ANN_K),
+        "pii_scrub": pii.scrub_pii_sql(),
         "ann_topk_bruteforce": similarity.cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_ivf": similarity.ivf_topk_sql(ANN_QUERY_IDS, ANN_K),
