@@ -40,6 +40,7 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         similarity, skew, svf, train,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
+from geoclimate_spark.operators import sketch
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -103,6 +104,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_T, NGRAM_MAX_DF = 0.7, 20
 MINHASH_T = 0.8
 SIMHASH_MAXD = 6
+
+
+_SKETCH_DOCS_SQL = "SELECT doc_id, text, lang, source FROM documents"
+
+
+def _q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch.hll_distinct(_docs(spark, sf_dir), "lang", "text")
+
+
+def _q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch.kmv_distinct(_docs(spark, sf_dir), "lang", "text")
+
+
+def _q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch.cms_heavy_hitters(_docs(spark, sf_dir), "source")
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1239,6 +1255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,  # applyInPandasWithState (r4)
         "ann_topk_ivf_pq": _q_ann_ivf_pq,  # product-quantized ADC + rerank (r4)
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
+        "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
+        "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
+        "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
         # -- block 1: engine/oracle changed in round 4 --
         "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
         "smbr_direction_distribution": _q_smbr_direction,  # calipers path (r4)
@@ -1404,6 +1423,12 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "sketch_hll_distinct": sketch.hll_distinct_sql(
+            _SKETCH_DOCS_SQL, "lang", "text"),
+        "sketch_kmv_distinct": sketch.kmv_distinct_sql(
+            _SKETCH_DOCS_SQL, "lang", "text"),
+        "sketch_cms_heavy_hitters": sketch.cms_heavy_hitters_sql(
+            _SKETCH_DOCS_SQL, "source"),
         "wkb_zone_layer_cover": polygon_overlay.layer_cover_sql(
             polygon_overlay.convex_pair_areas_sql(
                 layers.poly_zone_vertices_values_sql(),
