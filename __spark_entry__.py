@@ -40,7 +40,7 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         similarity, skew, svf, train,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
-from geoclimate_spark.operators import sketch
+from geoclimate_spark.operators import langid, sketch
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -107,6 +107,14 @@ SIMHASH_MAXD = 6
 
 
 _SKETCH_DOCS_SQL = "SELECT doc_id, text, lang, source FROM documents"
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle n-gram language-ID confusion matrix. NOTE: the synth
+    corpus shares ONE token vocabulary across langs, so accuracy ~chance —
+    the operator's profile-train→broadcast-score→argmax shape and its
+    bit-exact oracle parity are the contract, not the fixture's signal."""
+    return langid.lang_confusion(_docs(spark, sf_dir))
 
 
 def _q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
+        "lang_id_confusion": _q_lang_confusion,      # n-gram lang-ID (r4)
         # -- block 1: engine/oracle changed in round 4 --
         "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
         "smbr_direction_distribution": _q_smbr_direction,  # calipers path (r4)
@@ -1423,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "lang_id_confusion": langid.lang_confusion_sql(),
         "sketch_hll_distinct": sketch.hll_distinct_sql(
             _SKETCH_DOCS_SQL, "lang", "text"),
         "sketch_kmv_distinct": sketch.kmv_distinct_sql(
