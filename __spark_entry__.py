@@ -40,7 +40,7 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         similarity, skew, svf, train,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
-from geoclimate_spark.operators import langid, sketch
+from geoclimate_spark.operators import langid, salience, sketch
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -115,6 +115,10 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator's profile-train→broadcast-score→argmax shape and its
     bit-exact oracle parity are the contract, not the fixture's signal."""
     return langid.lang_confusion(_docs(spark, sf_dir))
+
+
+def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salience.doc_top_terms(_docs(spark, sf_dir))
 
 
 def _q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
         "lang_id_confusion": _q_lang_confusion,      # n-gram lang-ID (r4)
+        "doc_top_terms": _q_doc_top_terms,           # tf·icf salience (r4)
         # -- block 1: engine/oracle changed in round 4 --
         "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
         "smbr_direction_distribution": _q_smbr_direction,  # calipers path (r4)
@@ -1433,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # -- round 4 --
         "lang_id_confusion": langid.lang_confusion_sql(),
+        "doc_top_terms": salience.doc_top_terms_sql(),
         "sketch_hll_distinct": sketch.hll_distinct_sql(
             _SKETCH_DOCS_SQL, "lang", "text"),
         "sketch_kmv_distinct": sketch.kmv_distinct_sql(

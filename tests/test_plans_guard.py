@@ -132,3 +132,21 @@ def test_round4_operator_plans(spark):
     # grouped Arrow pass (FlatMapGroupsInPandas) feeds the weights stage
     smbr_plan = _plan(E.queries()["smbr_direction_distribution"](spark, SF))
     assert smbr_plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_curation_operator_plans_pure_jvm(spark):
+    """Round-4 curation ops (sketches, lang-ID, salience) must be pure JVM
+    codegen plans: no Python eval anywhere, no cartesian/BNLJ; the lang-ID
+    profile join and the CMS point-query join broadcast their dim sides."""
+    import __spark_entry__ as E
+    for name in ("sketch_hll_distinct", "sketch_kmv_distinct",
+                 "sketch_cms_heavy_hitters", "lang_id_confusion",
+                 "doc_top_terms"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    for name in ("sketch_cms_heavy_hitters", "lang_id_confusion"):
+        assert "BroadcastHashJoin" in _plan(E.queries()[name](spark, SF)), name
