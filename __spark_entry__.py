@@ -40,7 +40,7 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         similarity, skew, svf, train,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
-from geoclimate_spark.operators import langid, salience, sketch
+from geoclimate_spark.operators import langid, linkrank, salience, sketch
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -119,6 +119,10 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salience.doc_top_terms(_docs(spark, sf_dir))
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return linkrank.host_pagerank(_docs(spark, sf_dir))
 
 
 def _q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
         "lang_id_confusion": _q_lang_confusion,      # n-gram lang-ID (r4)
         "doc_top_terms": _q_doc_top_terms,           # tf·icf salience (r4)
+        "host_pagerank": _q_host_pagerank,           # int fixed-point PR (r4)
         # -- block 1: engine/oracle changed in round 4 --
         "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
         "smbr_direction_distribution": _q_smbr_direction,  # calipers path (r4)
@@ -1439,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         # -- round 4 --
         "lang_id_confusion": langid.lang_confusion_sql(),
         "doc_top_terms": salience.doc_top_terms_sql(),
+        "host_pagerank": linkrank.host_pagerank_sql(),
         "sketch_hll_distinct": sketch.hll_distinct_sql(
             _SKETCH_DOCS_SQL, "lang", "text"),
         "sketch_kmv_distinct": sketch.kmv_distinct_sql(

@@ -1,0 +1,129 @@
+"""Host-level link-graph PageRank — exact integer fixed-point iterations.
+
+Web-corpus curation ranks hosts by link authority before sampling (the
+host-quality prior in CommonCrawl-style pipelines). The reference's closest
+shape is its zone-adjacency connected-components pass
+(`GenericIndicators.groovy` createBlocks analogue, already grafted in
+operators/components.py); PageRank is the weighted generalization a
+trillion-page pipeline actually runs.
+
+Exactness contract: classic PageRank is float arithmetic whose associativity
+varies across engines. This operator runs k fixed iterations in int64
+fixed-point (SCALE = 10^6):
+
+    contrib(e)   = rank(src) div outdeg(src)          (exact integer div)
+    rank'(v)     = (15·SCALE) div 100
+                   + (85 · Σ_in contrib) div 100      (exact, Σ is integer)
+
+Every quantity is an exact int64 (Σ_in ≤ n_hosts·SCALE), so the DuckDB dual
+— the same k iterations unrolled as CTEs — replays bit-for-bit. Dangling
+hosts (outdeg 0) contribute nothing (documented simplification, identical
+on both sides); hosts with no in-links hold the base rank.
+
+Scale shape per iteration: one equi-join of the rank table to the edge list
+on ``src`` + one groupBy on ``dst`` — the canonical distributed PageRank
+(rank table partitioned by host key; the edge list is the big side and
+never moves if pre-bucketed by src). k iterations = 2k shuffles, no Python.
+The demo edge list is SYNTHESIZED deterministically from the distinct-host
+dim (hash-selected pairs) — a fixture-side broadcast of a tiny dim, not the
+operator's scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60_col, hash60_sql
+
+SCALE = 1_000_000
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = 15 * SCALE // 100
+N_ITER = 3
+EDGE_MOD = 5          # keep pairs with hash60(src>dst) % EDGE_MOD == 0
+
+
+def synth_host_edges(docs: DataFrame, host_col: str = "source") -> DataFrame:
+    """Deterministic sparse host-link graph: ordered pair (a, b), a ≠ b,
+    kept when hash60(a || '>' || b) % EDGE_MOD == 0. Fixture synthesis over
+    the tiny distinct-host dim (broadcast self-pair of a dim table — NOT
+    the operator's scale path; real pipelines extract edges from hrefs)."""
+    hosts = (docs.where(F.col(host_col).isNotNull())
+             .select(F.col(host_col).alias("src")).distinct())
+    dsts = hosts.select(F.col("src").alias("dst"))
+    # tiny-dim pair universe: a deliberate broadcast non-equi pairing (the
+    # dim is n_hosts rows; real pipelines extract edges from hrefs instead)
+    pairs = hosts.join(F.broadcast(dsts), F.col("src") != F.col("dst"))
+    key = hash60_col(F.concat(F.col("src"), F.lit(">"), F.col("dst")))
+    return pairs.where(key % EDGE_MOD == 0)
+
+
+def host_pagerank(docs: DataFrame, host_col: str = "source",
+                  n_iter: int = N_ITER) -> DataFrame:
+    """k-iteration integer PageRank over the synthesized host graph.
+    Returns (host, outdeg, indeg, rank_int) with rank_int the exact
+    fixed-point rank after ``n_iter`` iterations (SCALE = 10^6)."""
+    # localCheckpoint: materialize the tiny host dim + synthesized edge list
+    # ONCE and truncate their lineage — the k iteration subtrees reference
+    # plain in-memory relations instead of re-expanding the synthesis DAG
+    # (and its non-equi pairing) k times
+    hosts = (docs.where(F.col(host_col).isNotNull())
+             .select(F.col(host_col).alias("host")).distinct()
+             .localCheckpoint(True))
+    edges = synth_host_edges(docs, host_col).localCheckpoint(True)
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    indeg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("indeg"))
+    rank = hosts.select("host", F.lit(SCALE).cast("long").alias("rank_int"))
+    for _ in range(n_iter):
+        contrib = (edges.join(rank, edges["src"] == rank["host"])
+                   .join(outdeg, "src")
+                   .select(F.col("dst"),
+                           F.expr("rank_int div outdeg").alias("_c")))
+        incoming = contrib.groupBy("dst").agg(F.sum("_c").alias("_in"))
+        rank = (hosts.join(incoming, hosts["host"] == incoming["dst"], "left")
+                .select("host",
+                        (F.lit(BASE)
+                         + F.expr(f"({DAMP_NUM} * coalesce(_in, 0L))"
+                                  f" div {DAMP_DEN}"))
+                        .cast("long").alias("rank_int")))
+    return (hosts
+            .join(outdeg, hosts["host"] == outdeg["src"], "left").drop("src")
+            .join(indeg, hosts["host"] == indeg["dst"], "left").drop("dst")
+            .join(rank, "host")
+            .select("host",
+                    F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+                    F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+                    "rank_int"))
+
+
+def host_pagerank_sql(doc_rel: str = "documents", host_col: str = "source",
+                      n_iter: int = N_ITER) -> str:
+    key = hash60_sql("(a.host || '>' || b.host)")
+    ctes = [f"""hosts AS (SELECT DISTINCT {host_col} AS host FROM {doc_rel}
+          WHERE {host_col} IS NOT NULL),
+edges AS (SELECT a.host AS src, b.host AS dst
+          FROM hosts a JOIN hosts b ON a.host <> b.host
+          WHERE ({key}) % {EDGE_MOD} = 0),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM edges GROUP BY 1),
+indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg
+          FROM edges GROUP BY 1),
+r0 AS (SELECT host, CAST({SCALE} AS BIGINT) AS rank_int FROM hosts)"""]
+    for i in range(n_iter):
+        ctes.append(f"""inc{i} AS (
+  SELECT e.dst, SUM(r.rank_int // o.outdeg) AS _in
+  FROM edges e JOIN r{i} r ON e.src = r.host
+       JOIN outdeg o ON e.src = o.src
+  GROUP BY 1),
+r{i + 1} AS (
+  SELECT h.host,
+         CAST({BASE} + ({DAMP_NUM} * COALESCE(i._in, 0)) // {DAMP_DEN}
+              AS BIGINT) AS rank_int
+  FROM hosts h LEFT JOIN inc{i} i ON h.host = i.dst)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT h.host, CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdeg,\n"
+            f"       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS indeg,\n"
+            f"       r.rank_int\n"
+            f"FROM hosts h LEFT JOIN outdeg o ON h.host = o.src\n"
+            f"     LEFT JOIN indeg i ON h.host = i.dst\n"
+            f"     JOIN r{n_iter} r ON h.host = r.host")

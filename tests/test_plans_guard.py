@@ -150,3 +150,16 @@ def test_curation_operator_plans_pure_jvm(spark):
         assert "ArrowEvalPython" not in plan, name
     for name in ("sketch_cms_heavy_hitters", "lang_id_confusion"):
         assert "BroadcastHashJoin" in _plan(E.queries()[name](spark, SF)), name
+
+
+def test_pagerank_iteration_plan(spark):
+    """host_pagerank: the fixture-side edge synthesis (a deliberate tiny-dim
+    broadcast non-equi pairing) is localCheckpoint-truncated, so the
+    ITERATION plan — the operator's actual scale path — contains only equi
+    joins on src/dst/host keys; nothing touches Python."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["host_pagerank"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
