@@ -41,6 +41,7 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.operators import langid, linkrank, salience, sketch
+from geoclimate_spark.operators import bloom, segdedup, sprawl
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -135,6 +136,37 @@ def _q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_heavy_hitters(_docs(spark, sf_dir), "source")
+
+
+BLOOM_BAN_MOD = 23
+SPRAWL_RES, SPRAWL_DENSE_MIN = 5, 2
+
+
+def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (k-token segment) corpus dedup — first occurrence
+    wins globally, documents reassembled from surviving segments."""
+    return segdedup.segment_dedup(_docs(spark, sf_dir))
+
+
+def _q_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fingerprint-blocklist anti-join; the bloom is a
+    physical prefilter with zero semantic effect, so the DuckDB oracle is
+    the plain NOT IN — engine result must match it bit-for-bit."""
+    return bloom.bloom_blocklist_filter(_docs(spark, sf_dir), BLOOM_BAN_MOD)
+
+
+def _sprawl_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
+    return (g.withColumn("tile_id", tile_op.tile_col(
+        F.col("lon_e6"), F.col("lat_e6"), SPRAWL_RES))
+        .groupBy("tile_id").agg(F.count("*").alias("n_pages")))
+
+
+def _q_sprawl_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sprawl areas: rook-connected dense tiles → CC → per-area rollup
+    (the sprawlIndicators dissolve, WorkflowGeoIndicators.groovy:2174-2235)."""
+    return sprawl.sprawl_components(_sprawl_tiles(spark, sf_dir),
+                                    SPRAWL_RES, SPRAWL_DENSE_MIN)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,6 +1306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
+        "segment_dedup": _q_segment_dedup,           # paragraph dedup (r4)
+        "bloom_blocklist_curation": _q_bloom_blocklist,  # bloom anti-join (r4)
+        "sprawl_components": _q_sprawl_components,   # dense-tile CC (r4)
         "lang_id_confusion": _q_lang_confusion,      # n-gram lang-ID (r4)
         "doc_top_terms": _q_doc_top_terms,           # tf·icf salience (r4)
         "host_pagerank": _q_host_pagerank,           # int fixed-point PR (r4)
@@ -1442,6 +1477,15 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "segment_dedup": segdedup.segment_dedup_sql(),
+        "bloom_blocklist_curation": bloom.bloom_blocklist_filter_sql(
+            BLOOM_BAN_MOD),
+        "sprawl_components": sprawl.sprawl_components_sql(
+            f"""SELECT CAST({tile_op.tile_sql("lon_e6", "lat_e6", SPRAWL_RES)}
+       AS BIGINT) AS tile_id, COUNT(*) AS n_pages
+  FROM ({_PAGES_CTE} SELECT * FROM pages WHERE lon_e6 IS NOT NULL) p
+  GROUP BY 1""",
+            SPRAWL_RES, SPRAWL_DENSE_MIN),
         "lang_id_confusion": langid.lang_confusion_sql(),
         "doc_top_terms": salience.doc_top_terms_sql(),
         "host_pagerank": linkrank.host_pagerank_sql(),

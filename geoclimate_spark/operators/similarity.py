@@ -711,18 +711,32 @@ def _dot_sparkexpr(a: str, row: list[float]) -> str:
             f"(acc, v) -> acc + v)")
 
 
+def _dot_scalar_sparkexpr(arr: str, row: list[float], offset: int) -> str:
+    """Flat element_at chain for a short sub-vector dot. Bit-identical to
+    :func:`_dot_sparkexpr` over slice(arr, offset+1, len(row)): the fold
+    computes ((0.0 + p1) + p2) + … and this chain parses left-associated the
+    same way, so engine/oracle hashes are unchanged. The point is plan cost:
+    the higher-order aggregate/zip_with/slice form is interpreted per element
+    and 128 of them made IVF-PQ's FIRST run pay ~12 s of analysis + codegen;
+    the scalar chain is ordinary whole-stage-codegen arithmetic."""
+    terms = " + ".join(
+        f"CAST(element_at({arr}, {offset + d + 1}) AS DOUBLE) * {y!r}D"
+        for d, y in enumerate(row))
+    return f"0.0D + {terms}"
+
+
 def _pq_codes_exprs(books: list[list[list[float]]],
                     sub: int) -> tuple[dict, str]:
     """Per-subspace code = index of the max dot (FIRST occurrence on ties =
     lowest-index tie-break, identical to the _centroid_col chain). Returns
     ({_pqd<s>: dot-array Column}, codes array expr over those columns) so
-    each codeword dot-fold appears exactly once in the plan."""
+    each codeword dot appears exactly once in the plan."""
     darrs = {}
     cols = []
     for s, book in enumerate(books):
-        sv = f"slice(v, {s * sub + 1}, {sub})"
         darrs[f"_pqd{s}"] = F.expr(
-            "array(" + ", ".join(_dot_sparkexpr(sv, row) for row in book)
+            "array(" + ", ".join(
+                _dot_scalar_sparkexpr("v", row, s * sub) for row in book)
             + ")")
         cols.append(f"CAST(array_position(_pqd{s}, array_max(_pqd{s})) - 1 "
                     "AS BIGINT)")
@@ -755,9 +769,8 @@ def _pq_lut_col(books: list[list[list[float]]], sub: int) -> Column:
     fan-out."""
     ents = []
     for s, book in enumerate(books):
-        sv = f"slice(v, {s * sub + 1}, {sub})"
         for row in book:
-            ents.append(_dot_sparkexpr(sv, row))
+            ents.append(_dot_scalar_sparkexpr("v", row, s * sub))
     return F.expr("array(" + ", ".join(ents) + ")")
 
 
@@ -797,8 +810,12 @@ def ivf_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     # tie-break), posexplode = the probe ranking dots
     cdots = F.expr("array(" + ", ".join(
         _dot_sparkexpr("v", row) for row in cents) + ")")
-    base = (_with_norm(emb, id_col, vec)
-            .withColumn("_cd", cdots)
+    # slim normed base: the exact-rerank branch joins THIS, so the centroid/
+    # PQ expression trees are analyzed only on the branches that use them
+    # (eager per-transformation analysis over 3 copies of the full tree was
+    # a measurable driver cost at plan-build time)
+    nb = _with_norm(emb, id_col, vec)
+    base = (nb.withColumn("_cd", cdots)
             .withColumn("cluster", F.expr(
                 "CAST(array_position(_cd, array_max(_cd)) - 1 AS BIGINT)")))
     darrs, codes_expr = _pq_codes_exprs(books, sub)
@@ -838,7 +855,7 @@ def ivf_pq_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                                      F.col("v").alias("qv"),
                                      F.col("nrm").alias("qn")))
     exact = (F.broadcast(pool).join(
-        base.select(F.col("id").alias(id_col), "v", "nrm"), id_col)
+        nb.select(F.col("id").alias(id_col), "v", "nrm"), id_col)
         .join(qfull, "query_id")
         .select("query_id", id_col,
                 (_dot(F.col("qv"), F.col("v"))

@@ -152,6 +152,25 @@ def test_curation_operator_plans_pure_jvm(spark):
         assert "BroadcastHashJoin" in _plan(E.queries()[name](spark, SF)), name
 
 
+def test_round4_late_curation_plans(spark):
+    """Segment dedup, bloom blocklist and sprawl tiles must stay pure-JVM
+    equi-join/window plans. The bloom path's bitmap probes are broadcast
+    hash joins (the whole point: the big side never shuffles for the
+    prefilter), and segment dedup is exactly two shuffles (segment window +
+    doc reassembly) with zero Python."""
+    import __spark_entry__ as E
+    for name in ("segment_dedup", "bloom_blocklist_curation",
+                 "sprawl_components"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    bloom_plan = _plan(E.queries()["bloom_blocklist_curation"](spark, SF))
+    assert "BroadcastHashJoin" in bloom_plan
+
+
 def test_pagerank_iteration_plan(spark):
     """host_pagerank: the fixture-side edge synthesis (a deliberate tiny-dim
     broadcast non-equi pairing) is localCheckpoint-truncated, so the

@@ -1,0 +1,127 @@
+"""Hand-case semantics for the round-4 late operators (oracle parity lives
+in test_entry): segment-level dedup, bloom-prefiltered blocklist anti-join,
+sprawl components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoclimate_spark import grid
+from geoclimate_spark.operators import bloom, segdedup, sprawl
+
+
+# ------------------------------------------------------------ segment dedup
+def _seg_rows(spark, rows, k=3):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = segdedup.segment_dedup(docs, k=k)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    # doc 1 and doc 2 share the leading 3-token segment; doc 1 wins (lower id)
+    rows = [(1, "a b c x y z"), (2, "a b c q r s")]
+    got = _seg_rows(spark, rows, k=3)
+    assert got[1].n_segs == 2 and got[1].n_kept == 2
+    assert got[1].dedup_text == "a b c x y z"
+    assert got[2].n_segs == 2 and got[2].n_kept == 1
+    assert got[2].dedup_text == "q r s"
+
+
+def test_segment_dedup_within_doc_repetition(spark):
+    # the same segment repeated inside ONE doc keeps only the first copy
+    rows = [(5, "a b c a b c a b c")]
+    got = _seg_rows(spark, rows, k=3)
+    assert got[5].n_segs == 3 and got[5].n_kept == 1
+    assert got[5].dedup_text == "a b c"
+
+
+def test_segment_dedup_fully_duplicate_doc_survives_empty(spark):
+    # doc 9 is entirely boilerplate seen in doc 1 -> kept as an empty row
+    rows = [(1, "a b c d e f"), (9, "a b c d e f")]
+    got = _seg_rows(spark, rows, k=3)
+    assert got[9].n_kept == 0 and got[9].dedup_text == ""
+    assert set(got) == {1, 9}  # no silent row loss
+
+
+def test_segment_dedup_tail_segment_and_normalization(spark):
+    # 7 tokens at k=3 -> 3 segments, last is the 1-token tail; mixed case +
+    # extra whitespace normalize before splitting
+    rows = [(3, "  A b C   d E f G ")]
+    got = _seg_rows(spark, rows, k=3)
+    assert got[3].n_segs == 3 and got[3].n_kept == 3
+    assert got[3].dedup_text == "a b c d e f g"
+
+
+# ------------------------------------------------------------ bloom filter
+def test_bloom_result_equals_plain_anti_join(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i % 7}", "en") for i in range(200)],
+        "doc_id long, text string, lang string")
+    got = bloom.bloom_blocklist_filter(docs, ban_mod=10)
+    rows = bloom.fingerprints(docs)
+    banned = (rows.where(F.col("doc_id") % 10 == 0)
+              .select("fp").distinct())
+    want = rows.join(banned, "fp", "left_anti")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_no_false_negatives_and_actually_prunes(spark):
+    # unique texts: blocklist = 10 fps of 500; every banned fp must be
+    # bloom-positive, and the bloom must clear most clean rows without the
+    # confirm join (prune factor >= 2 is conservative at 20 bits/1024)
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}", "en") for i in range(500)],
+        "doc_id long, text string, lang string")
+    rows = bloom.fingerprints(docs)
+    banned = (rows.where(F.col("doc_id") % 50 == 0)
+              .select("fp").distinct())
+    flagged = bloom.with_bloom_flag(rows, bloom.bloom_bitmap(banned))
+    banned_flags = (flagged.join(banned, "fp", "left_semi")
+                    .select("bloom_maybe").collect())
+    assert banned_flags and all(r.bloom_maybe for r in banned_flags)
+    n_maybe = flagged.where(F.col("bloom_maybe")).count()
+    assert n_maybe < 250, f"bloom did not prune: {n_maybe}/500 positive"
+
+
+# -------------------------------------------------------- sprawl components
+def _pack(res, x, y):
+    return (res << 58) + (x << 29) + y
+
+
+def test_sprawl_components_shapes_and_rollup(spark):
+    res = 5
+    # L-shaped blob {(2,2),(3,2),(3,3)}, isolated dense (8,8), diagonal-only
+    # neighbor (5,5)/(6,6) must NOT merge (rook, not queen), sparse (4,2)
+    # filtered out by the threshold
+    tiles = [(_pack(res, 2, 2), 5), (_pack(res, 3, 2), 7), (_pack(res, 3, 3), 2),
+             (_pack(res, 8, 8), 9), (_pack(res, 5, 5), 3), (_pack(res, 6, 6), 3),
+             (_pack(res, 4, 2), 1)]
+    df = spark.createDataFrame(tiles, "tile_id long, n_pages long")
+    got = {r.component: (r.n_tiles, r.total_pages)
+           for r in sprawl.sprawl_components(df, res, dense_min=2).collect()}
+    assert got[_pack(res, 2, 2)] == (3, 14)       # the L blob
+    assert got[_pack(res, 8, 8)] == (1, 9)        # isolated singleton
+    assert got[_pack(res, 5, 5)] == (1, 3)        # diagonal does not connect
+    assert got[_pack(res, 6, 6)] == (1, 3)
+    assert _pack(res, 4, 2) not in got            # below threshold
+    assert len(got) == 4
+
+
+def test_sprawl_lon_wrap_connects_across_antimeridian(spark):
+    res = 5
+    nx = grid.nx(res)
+    tiles = [(_pack(res, 0, 7), 4), (_pack(res, nx - 1, 7), 4)]
+    df = spark.createDataFrame(tiles, "tile_id long, n_pages long")
+    out = sprawl.sprawl_components(df, res, dense_min=2).collect()
+    assert len(out) == 1 and out[0].n_tiles == 2 and out[0].total_pages == 8
+
+
+def test_sprawl_pole_clamp_no_phantom_neighbors(spark):
+    res = 5
+    ny = grid.ny(res)
+    # y=0 and y=ny-1 rows: the out-of-range y neighbors must be dropped,
+    # not wrapped onto each other
+    tiles = [(_pack(res, 3, 0), 4), (_pack(res, 3, ny - 1), 4)]
+    df = spark.createDataFrame(tiles, "tile_id long, n_pages long")
+    out = sprawl.sprawl_components(df, res, dense_min=2).collect()
+    assert len(out) == 2 and all(r.n_tiles == 1 for r in out)
