@@ -41,7 +41,7 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.operators import langid, linkrank, salience, sketch
-from geoclimate_spark.operators import bloom, segdedup, sprawl
+from geoclimate_spark.operators import bloom, segdedup, sprawl, urlnorm
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -167,6 +167,40 @@ def _q_sprawl_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sprawlIndicators dissolve, WorkflowGeoIndicators.groovy:2174-2235)."""
     return sprawl.sprawl_components(_sprawl_tiles(spark, sf_dir),
                                     SPRAWL_RES, SPRAWL_DENSE_MIN)
+
+
+def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-latest-fetch over a deterministic messy
+    crawl-log fixture (scheme/www/slash/utm/#fragment/host-case noise);
+    fixture fragments are shared SQL evaluated by both engines."""
+    frags = urlnorm.url_crawl_fixture_sql("doc_id")
+    crawls = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("crawl_id"),
+        F.expr(frags["raw_url"]).alias("raw_url"),
+        F.expr(frags["fetch_epoch"]).alias("fetch_epoch"))
+    return urlnorm.latest_crawl_per_url(crawls)
+
+
+def _q_tile_indicator_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rasterizeIndicators analogue (`WorkflowGeoIndicators.groovy:
+    1571-1959`): per-grid-cell indicator families assembled into one wide
+    row per tile — counts/chars/langs, weighted lang mode, LOD-2 parent."""
+    g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
+    t = (g.withColumn("chars", F.length("text_extracted").cast("long"))
+         .withColumn("tile_id", tile_op.tile_col(
+             F.col("lon_e6"), F.col("lat_e6"), TILE_RES))
+         .select("tile_id", "lang", "chars"))
+    stats = t.groupBy("tile_id").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"))
+    mode = zonal.mode_weighted(t, "tile_id", "lang", "chars")
+    lod = stats.select("tile_id", grid.parent_col(
+        F.col("tile_id"), TILE_RES - 2, TILE_RES).alias("tile_lod2"))
+    return joiner.join_tables([
+        ("tstats", stats, "tile_id"),
+        ("mode", mode, "tile_id"),
+        ("lod", lod, "tile_id")])
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
+        "url_canonical_dedup": _q_url_canonical_dedup,  # canonical URL (r4)
+        "tile_indicator_table": _q_tile_indicator_table,  # grid rasterize (r4)
         "segment_dedup": _q_segment_dedup,           # paragraph dedup (r4)
         "bloom_blocklist_curation": _q_bloom_blocklist,  # bloom anti-join (r4)
         "sprawl_components": _q_sprawl_components,   # dense-tile CC (r4)
@@ -1471,12 +1507,42 @@ SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_bld,
 FROM patched GROUP BY zone_id"""
 
 
+def _tile_indicator_table_sql() -> str:
+    """DuckDB dual of _q_tile_indicator_table: stats + weighted mode + LOD-2
+    parent LEFT-JOIN-assembled on tile_id (joinTables semantics)."""
+    tile = tile_op.tile_sql("lon_e6", "lat_e6", TILE_RES)
+    rows = (f"{_PAGES_CTE}\nSELECT CAST({tile} AS BIGINT) AS tile_id, lang, "
+            f"LENGTH(text) AS chars FROM pages WHERE lon_e6 IS NOT NULL")
+    stats = (f"SELECT tile_id, COUNT(*) AS n_pages, "
+             f"CAST(SUM(chars) AS BIGINT) AS total_chars, "
+             f"CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs "
+             f"FROM ({rows}) GROUP BY 1")
+    mode = zonal.mode_weighted_sql(rows, "tile_id", "lang", "chars")
+    mask = (1 << 29) - 1
+    pres = TILE_RES - 2
+    parent = (f"CAST({pres} AS BIGINT) * {1 << 58} "
+              f"+ (((tile_id >> 29) & {mask}) >> 2) * {1 << 29} "
+              f"+ ((tile_id & {mask}) >> 2)")
+    lod = f"SELECT tile_id, {parent} AS tile_lod2 FROM ({stats}) s"
+    return joiner.join_tables_sql([
+        ("tstats", stats, "tile_id"),
+        ("mode", mode, "tile_id"),
+        ("lod", lod, "tile_id")])
+
+
 def oracle_sql() -> dict[str, str]:
     zone = layers.zone_case_sql("lon_e6", "lat_e6")
     tile = tile_op.tile_sql("lon_e6", "lat_e6", TILE_RES)
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "url_canonical_dedup": urlnorm.latest_crawl_per_url_sql(
+            "SELECT doc_id AS crawl_id, "
+            + urlnorm.url_crawl_fixture_sql("doc_id")["raw_url"]
+            + " AS raw_url, "
+            + urlnorm.url_crawl_fixture_sql("doc_id")["fetch_epoch"]
+            + " AS fetch_epoch FROM documents"),
+        "tile_indicator_table": _tile_indicator_table_sql(),
         "segment_dedup": segdedup.segment_dedup_sql(),
         "bloom_blocklist_curation": bloom.bloom_blocklist_filter_sql(
             BLOOM_BAN_MOD),

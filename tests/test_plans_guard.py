@@ -160,7 +160,8 @@ def test_round4_late_curation_plans(spark):
     doc reassembly) with zero Python."""
     import __spark_entry__ as E
     for name in ("segment_dedup", "bloom_blocklist_curation",
-                 "sprawl_components"):
+                 "sprawl_components", "url_canonical_dedup",
+                 "tile_indicator_table"):
         plan = _plan(E.queries()[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from geoclimate_spark import grid
-from geoclimate_spark.operators import bloom, segdedup, sprawl
+from geoclimate_spark.operators import bloom, segdedup, sprawl, urlnorm
 
 
 # ------------------------------------------------------------ segment dedup
@@ -81,6 +81,57 @@ def test_bloom_no_false_negatives_and_actually_prunes(spark):
     assert banned_flags and all(r.bloom_maybe for r in banned_flags)
     n_maybe = flagged.where(F.col("bloom_maybe")).count()
     assert n_maybe < 250, f"bloom did not prune: {n_maybe}/500 positive"
+
+
+# ------------------------------------------------------ url canonicalization
+def test_canonical_url_collapses_all_noise_forms(spark):
+    variants = [
+        "https://www.Example.COM/page/7",
+        "http://example.com/page/7/",
+        "https://example.com/page/7?utm_source=feed",
+        "http://WWW.EXAMPLE.com/page/7#sec1",
+        "https://www.example.com/page/7/?utm_source=feed#sec1",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "raw_url string")
+    got = {r.c for r in df.select(
+        urlnorm.canonical_url_col(df.raw_url).alias("c")).collect()}
+    assert got == {"example.com/page/7"}
+
+
+def test_canonical_url_keeps_real_query_params(spark):
+    # only utm_* tracking queries are stripped; a real query survives
+    df = spark.createDataFrame(
+        [("https://example.com/search?q=spark",)], "raw_url string")
+    got = df.select(urlnorm.canonical_url_col(df.raw_url).alias("c")).head().c
+    assert got == "example.com/search?q=spark"
+
+
+def test_latest_crawl_per_url_keeps_newest(spark):
+    crawls = spark.createDataFrame(
+        [(1, "http://a.com/x", 100), (2, "https://www.a.com/x/", 300),
+         (3, "https://a.com/x#f", 200), (9, "http://b.com/y", 50)],
+        "crawl_id long, raw_url string, fetch_epoch long")
+    got = {r.canon_url: r for r in
+           urlnorm.latest_crawl_per_url(crawls).collect()}
+    assert got["a.com/x"].last_crawl_id == 2
+    assert got["a.com/x"].n_crawls == 3
+    assert got["a.com/x"].last_fetch_epoch == 300
+    assert got["b.com/y"].n_crawls == 1
+
+
+def test_canonical_url_spark_duckdb_parity(spark):
+    """The regex chain must evaluate identically under Java regex (engine)
+    and RE2 (oracle) over the whole fixture noise space."""
+    import duckdb
+    frags = urlnorm.url_crawl_fixture_sql("i")
+    ids = spark.range(0, 64).select(F.col("id").alias("i"))
+    eng = [r.c for r in ids.select(
+        urlnorm.canonical_url_col(F.expr(frags["raw_url"])).alias("c"))
+        .orderBy("c").collect()]
+    ora = [r[0] for r in duckdb.sql(
+        f"SELECT {urlnorm.canonical_url_sql(frags['raw_url'])} AS c "
+        f"FROM range(64) t(i) ORDER BY c").fetchall()]
+    assert eng == ora
 
 
 # -------------------------------------------------------- sprawl components
