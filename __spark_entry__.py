@@ -274,6 +274,14 @@ def _q_zonal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.exact_median(_zoned_pages(spark, sf_dir), "zone_id", "chars")
 
 
+def _q_zonal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-zone p25/p50/p75/p95 via shared-rank arithmetic (one sort,
+    conditional picks) — the doc-length-distribution triage a curation
+    pipeline runs before setting quality thresholds."""
+    return zonal.exact_quantiles(_zoned_pages(spark, sf_dir),
+                                 "zone_id", "chars")
+
+
 def _q_mode_lang_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
     g = (g.withColumn("chars", F.length("text_extracted").cast("long"))
@@ -1340,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
+        "zonal_quantiles_chars": _q_zonal_quantiles,  # exact percentiles (r4)
         "url_canonical_dedup": _q_url_canonical_dedup,  # canonical URL (r4)
         "tile_indicator_table": _q_tile_indicator_table,  # grid rasterize (r4)
         "segment_dedup": _q_segment_dedup,           # paragraph dedup (r4)
@@ -1536,6 +1545,8 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "zonal_quantiles_chars": zonal.exact_quantiles_sql(
+            _geo_rows_sql("LENGTH(text) AS chars"), "zone_id", "chars"),
         "url_canonical_dedup": urlnorm.latest_crawl_per_url_sql(
             "SELECT doc_id AS crawl_id, "
             + urlnorm.url_crawl_fixture_sql("doc_id")["raw_url"]

@@ -168,6 +168,61 @@ SELECT {key}, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS median_{value},
 FROM mid GROUP BY {key}"""
 
 
+QUANTILES = (25, 50, 75, 95)
+
+
+def exact_quantiles(df: DataFrame, key: str, value: str,
+                    qs: Sequence[int] = QUANTILES) -> DataFrame:
+    """Exact per-zone percentiles via rank arithmetic (linear interpolation
+    at position (n-1)*q/100) — :func:`exact_median` generalized to any
+    integer-percent list. The interpolation fraction is computed as the
+    INTEGER ((n-1)*q) % 100 divided once by 100.0, so engine and oracle
+    share one exact double per quantile instead of each accumulating their
+    own float error. One window sort per zone (same shuffle budget as any
+    ranking op); the per-quantile picks are conditional aggregates over
+    that single sorted pass, NOT one pass per quantile."""
+    w = Window.partitionBy(key).orderBy(F.col("_v").asc())
+    t = (df.select(key, F.col(value).cast("long").alias("_v"))
+         .withColumn("_rk", F.row_number().over(w) - 1)
+         .withColumn("_n", F.count("*").over(Window.partitionBy(key))))
+    aggs = [F.max("_n").cast("long").alias("n_rows")]
+    for q in qs:
+        pos = (F.col("_n") - 1) * q
+        lo = F.floor(pos / 100).cast("long")
+        fr = pos % 100
+        vlo = F.max(F.when(F.col("_rk") == lo, F.col("_v")))
+        vhi = F.max(F.when(F.col("_rk") == F.least(
+            lo + 1, F.col("_n") - 1), F.col("_v")))
+        aggs.append(
+            (vlo.cast("double")
+             + (vhi - vlo).cast("double")
+             * F.max(fr).cast("double") / F.lit(100.0))
+            .alias(f"p{q}_{value}"))
+    return t.groupBy(key).agg(*aggs)
+
+
+def exact_quantiles_sql(rows_sql: str, key: str, value: str,
+                        qs: Sequence[int] = QUANTILES) -> str:
+    cols = []
+    for q in qs:
+        lo = f"(((n - 1) * {q}) // 100)"
+        fr = f"(((n - 1) * {q}) % 100)"
+        vlo = f"MAX(CASE WHEN rk = {lo} THEN v END)"
+        vhi = (f"MAX(CASE WHEN rk = LEAST({lo} + 1, n - 1) THEN v END)")
+        cols.append(
+            f"CAST({vlo} AS DOUBLE) + CAST({vhi} - {vlo} AS DOUBLE)"
+            f" * CAST(MAX({fr}) AS DOUBLE) / 100.0 AS p{q}_{value}")
+    sel = ",\n       ".join(cols)
+    return f"""WITH rows_in AS ({rows_sql}),
+t AS (SELECT {key}, CAST({value} AS BIGINT) AS v,
+        ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {value} ASC) - 1 AS rk,
+        COUNT(*) OVER (PARTITION BY {key}) AS n
+  FROM rows_in)
+SELECT {key}, CAST(MAX(n) AS BIGINT) AS n_rows,
+       {sel}
+FROM t GROUP BY {key}"""
+
+
 # ------------------------------------------------------------------ SQL path
 def unweighted_stats_sql(rows_sql: str, dim_values_sql: str, key: str,
                          value: str, ops: Sequence[str] = UNWEIGHTED_OPS) -> str:

@@ -83,6 +83,24 @@ def test_bloom_no_false_negatives_and_actually_prunes(spark):
     assert n_maybe < 250, f"bloom did not prune: {n_maybe}/500 positive"
 
 
+# ----------------------------------------------------------- exact quantiles
+def test_exact_quantiles_matches_numpy_linear(spark):
+    import numpy as np
+
+    from geoclimate_spark.operators import zonal
+    vals = {1: [3, 1, 4, 1, 5, 9, 2, 6], 2: [10], 3: [7, 7, 7, 2]}
+    rows = [(k, v) for k, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "zone_id long, chars long")
+    got = {r.zone_id: r for r in
+           zonal.exact_quantiles(df, "zone_id", "chars").collect()}
+    for z, vs in vals.items():
+        assert got[z].n_rows == len(vs)
+        for q in (25, 50, 75, 95):
+            want = float(np.percentile(vs, q))  # linear interpolation
+            have = getattr(got[z], f"p{q}_chars")
+            assert abs(have - want) < 1e-9, (z, q, have, want)
+
+
 # ------------------------------------------------------ url canonicalization
 def test_canonical_url_collapses_all_noise_forms(spark):
     variants = [
