@@ -41,7 +41,7 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.operators import langid, linkrank, salience, sketch
-from geoclimate_spark.operators import bloom, segdedup, sprawl, urlnorm
+from geoclimate_spark.operators import bloom, segdedup, sprawl, urlnorm, vocab
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -167,6 +167,26 @@ def _q_sprawl_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sprawlIndicators dissolve, WorkflowGeoIndicators.groovy:2174-2235)."""
     return sprawl.sprawl_components(_sprawl_tiles(spark, sf_dir),
                                     SPRAWL_RES, SPRAWL_DENSE_MIN)
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with exact global rank + cumulative token share —
+    the engine's bucketed two-phase cumsum vs the oracle's naive single
+    global window (the decomposition itself is hash-gated)."""
+    return vocab.vocab_coverage(_docs(spark, sf_dir))
+
+
+TOPK_PER_LANG, TOPK_SALTS = 5, 8
+
+
+def _q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase top-k (local top-k per salt → rank survivors):
+    a hot key's window input is bounded at rows/n_salts. The ORACLE is the
+    plain rank window, so salted == unsalted is hash-checked end-to-end
+    (same invariant as skewed_tile_counts_salted, for ranking)."""
+    rows = _docs(spark, sf_dir).select("lang", "doc_id", "n_chars")
+    return skew.salted_topk(rows, "lang", "n_chars", "doc_id",
+                            TOPK_PER_LANG, TOPK_SALTS, "doc_id")
 
 
 def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
+        "vocab_coverage": _q_vocab_coverage,          # bucketed cumsum (r4)
+        "topk_docs_per_lang": _q_topk_docs_per_lang,  # salted top-k (r4)
         "zonal_quantiles_chars": _q_zonal_quantiles,  # exact percentiles (r4)
         "url_canonical_dedup": _q_url_canonical_dedup,  # canonical URL (r4)
         "tile_indicator_table": _q_tile_indicator_table,  # grid rasterize (r4)
@@ -1545,6 +1567,10 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "vocab_coverage": vocab.vocab_coverage_sql(),
+        "topk_docs_per_lang": skew.salted_topk_sql(
+            "SELECT lang, doc_id, n_chars FROM documents",
+            "lang", "n_chars", "doc_id", TOPK_PER_LANG),
         "zonal_quantiles_chars": zonal.exact_quantiles_sql(
             _geo_rows_sql("LENGTH(text) AS chars"), "zone_id", "chars"),
         "url_canonical_dedup": urlnorm.latest_crawl_per_url_sql(

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,44 @@ def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int,
     salted = with_salt(df, n_salts, id_col)
     p1 = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("_n"))
     return p1.groupBy(*keys).agg(F.sum("_n").alias("n"))
+
+
+def salted_topk(df: DataFrame, key: str, order_col: str, tie_col: str,
+                k: int, n_salts: int, id_col: str) -> DataFrame:
+    """Skew-safe top-k rows per key: (key, rank, {tie_col}, {order_col}).
+
+    A plain rank window shuffles EVERY row of a hot key into one partition;
+    the two-phase form first takes a local top-k per (key, salt) — bounding
+    any single partition's window at rows/n_salts — then ranks the
+    n_salts*k survivors per key. Exact because the global top-k is a subset
+    of the union of per-salt top-ks (each survivor beats everything sharing
+    its salt). Ordering is (order_col DESC, tie_col ASC): deterministic when
+    tie_col is unique per key — pass the row id."""
+    w1 = Window.partitionBy(key, "_salt").orderBy(
+        F.col(order_col).desc(), F.col(tie_col).asc())
+    w2 = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc(), F.col(tie_col).asc())
+    local = (with_salt(df, n_salts, id_col)
+             .withColumn("_r1", F.row_number().over(w1))
+             .where(F.col("_r1") <= k))
+    return (local.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select(key, F.col("rank").cast("long").alias("rank"),
+                    tie_col, order_col))
+
+
+def salted_topk_sql(rows_sql: str, key: str, order_col: str, tie_col: str,
+                    k: int) -> str:
+    """DuckDB dual — the salting is a physical rearrangement with zero
+    semantic effect, so the oracle is the PLAIN rank window (the same
+    salted == unsalted invariant the salted_agg oracle checks)."""
+    return f"""WITH rows_in AS ({rows_sql}),
+ranked AS (SELECT {key}, {tie_col}, {order_col},
+       ROW_NUMBER() OVER (PARTITION BY {key}
+           ORDER BY {order_col} DESC, {tie_col} ASC) AS rank
+  FROM rows_in)
+SELECT {key}, CAST(rank AS BIGINT) AS rank, {tie_col}, {order_col}
+FROM ranked WHERE rank <= {k}"""
 
 
 def key_skew_stats(df: DataFrame, keys: Sequence[str], top: int = 20) -> DataFrame:

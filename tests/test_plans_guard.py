@@ -159,9 +159,12 @@ def test_round4_late_curation_plans(spark):
     prefilter), and segment dedup is exactly two shuffles (segment window +
     doc reassembly) with zero Python."""
     import __spark_entry__ as E
+    # (zonal_quantiles_chars is excluded: it consumes the PIP-joined base
+    # whose boundary refine is deliberately ArrowEvalPython)
     for name in ("segment_dedup", "bloom_blocklist_curation",
                  "sprawl_components", "url_canonical_dedup",
-                 "tile_indicator_table"):
+                 "tile_indicator_table", "vocab_coverage",
+                 "topk_docs_per_lang"):
         plan = _plan(E.queries()[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -83,6 +83,48 @@ def test_bloom_no_false_negatives_and_actually_prunes(spark):
     assert n_maybe < 250, f"bloom did not prune: {n_maybe}/500 positive"
 
 
+# --------------------------------------------------- vocab coverage / top-k
+def test_vocab_coverage_matches_naive_window(spark):
+    """The bucketed two-phase cumsum must equal the naive global-order
+    cumsum on a tie-heavy vocabulary (many cf=1 terms across first chars)."""
+    from geoclimate_spark.operators import vocab
+    texts = ["the the the cat sat", "a dog sat", "zebra ant cat",
+             "bee ant apple zoo"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = sorted(map(tuple, vocab.vocab_coverage(docs).collect()))
+    # naive reference computed in plain python
+    from collections import Counter
+    cf, dfreq = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        cf.update(toks)
+        dfreq.update(set(toks))
+    order = sorted(cf, key=lambda w: (-cf[w], w))
+    total = sum(cf.values())
+    want, cum = [], 0
+    for i, w in enumerate(order):
+        cum += cf[w]
+        want.append((w, cf[w], dfreq[w], i + 1, cum / total))
+    assert got == sorted(want)
+
+
+def test_salted_topk_equals_plain_rank(spark):
+    from pyspark.sql import Window
+
+    from geoclimate_spark.operators import skew
+    rows = [(i % 3, i, (i * 37) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp long, rid long, v long")
+    got = skew.salted_topk(df, "grp", "v", "rid", k=4, n_salts=5,
+                           id_col="rid")
+    w = Window.partitionBy("grp").orderBy(F.col("v").desc(),
+                                          F.col("rid").asc())
+    want = (df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 4)
+            .select("grp", F.col("rank").cast("long"), "rid", "v"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 # ----------------------------------------------------------- exact quantiles
 def test_exact_quantiles_matches_numpy_linear(spark):
     import numpy as np
