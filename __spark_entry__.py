@@ -169,6 +169,47 @@ def _q_sprawl_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     SPRAWL_RES, SPRAWL_DENSE_MIN)
 
 
+def _q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Dolma-style curation chain as ONE composed query —
+    fingerprint-blocklist anti-join (bloom-prefiltered) → segment-level
+    dedup → quality gate on the REASSEMBLED text — every stage the same
+    operator the standalone driver queries exercise, so this is the
+    integration proof that the pieces compose. Output: one row per
+    surviving document with its post-dedup shape and quality."""
+    docs = _docs(spark, sf_dir)
+    kept_ids = (bloom.bloom_blocklist_filter(docs, BLOOM_BAN_MOD)
+                .select("doc_id"))
+    survivors = docs.join(kept_ids, "doc_id", "left_semi")
+    # fully-deduplicated docs (n_kept = 0, empty text) exit here: they are
+    # boilerplate-only and the metrics' ratios are undefined on ''
+    sd = segdedup.segment_dedup(survivors).where(F.col("n_kept") > 0)
+    cols = text_fn.text_metrics_cols(F.col("dedup_text"))
+    scored = sd.join(survivors.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_segs", "n_kept",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["quality"].alias("quality"))
+    return scored.where(F.col("quality") >= CURATE_MIN_QUALITY)
+
+
+def _curation_pipeline_e2e_sql() -> str:
+    """Composed oracle: each stage is the SAME *_sql builder the standalone
+    queries use, nested as CTEs (DuckDB scopes outer CTEs into nested WITH
+    subqueries)."""
+    m = text_fn.text_metrics_sql("dedup_text")
+    # outer CTE names must not collide with segment_dedup_sql's inner CTEs
+    # (toks/segs/ranked/kept/agg/tot): DuckDB mis-binds the shadowed name
+    # inside the nested WITH and reports a circular reference
+    return f"""
+WITH blk AS ({bloom.bloom_blocklist_filter_sql(BLOOM_BAN_MOD)}),
+surv AS (SELECT d.* FROM documents d JOIN blk k ON k.doc_id = d.doc_id),
+sd AS ({segdedup.segment_dedup_sql(doc_rel="surv")}),
+scored AS (SELECT s.doc_id, v.lang, s.n_segs, s.n_kept,
+       {m['n_tokens']} AS n_tokens, {m['quality']} AS quality
+  FROM sd s JOIN surv v ON v.doc_id = s.doc_id
+  WHERE s.n_kept > 0)
+SELECT * FROM scored WHERE quality >= {CURATE_MIN_QUALITY}"""
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with exact global rank + cumulative token share —
     the engine's bucketed two-phase cumsum vs the oracle's naive single
@@ -1368,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
+        "curation_pipeline_e2e": _q_curation_pipeline_e2e,  # composed chain (r4)
         "vocab_coverage": _q_vocab_coverage,          # bucketed cumsum (r4)
         "topk_docs_per_lang": _q_topk_docs_per_lang,  # salted top-k (r4)
         "zonal_quantiles_chars": _q_zonal_quantiles,  # exact percentiles (r4)
@@ -1567,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "curation_pipeline_e2e": _curation_pipeline_e2e_sql(),
         "vocab_coverage": vocab.vocab_coverage_sql(),
         "topk_docs_per_lang": skew.salted_topk_sql(
             "SELECT lang, doc_id, n_chars FROM documents",

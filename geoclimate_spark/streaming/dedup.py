@@ -135,7 +135,13 @@ def exact_dedup_batch(batch: DataFrame, batch_id: int, store_dir: str,
              if store is not None else canon)
     novel = novel.persist()
     n_novel = novel.count()
-    (novel.select("fp", "id", "bucket").write.partitionBy("bucket")
+    # coalesce to one partition per bucket before the partitioned write:
+    # without it each of the shuffle's partitions emits a file into every
+    # bucket= dir (32×16 tiny files per batch — measured 3× wall-time on
+    # the sf0.1 bench); layout-only, results unchanged
+    (novel.select("fp", "id", "bucket")
+     .repartition(N_FP_BUCKETS, "bucket")
+     .write.partitionBy("bucket")
      .mode("overwrite").parquet(f"{store_dir}/batch={batch_id}"))
     (batch.join(novel.select(F.col("id").alias(id_col)), id_col)
      .write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}"))
@@ -227,6 +233,7 @@ def minhash_dedup_batch(batch: DataFrame, batch_id: int, store_dir: str,
     n_novel = novel.count()
     novel.write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
     (_band_long(novel).withColumn("bucket", _band_bucket(F.col("bk")))
+     .repartition(N_FP_BUCKETS, "bucket")  # one file per bucket dir (above)
      .write.partitionBy("bucket").mode("overwrite")
      .parquet(f"{band_dir}/batch={batch_id}"))
     (batch.join(novel.select(F.col("id").alias(id_col)), id_col)
