@@ -48,6 +48,13 @@ def main() -> None:
         # LSH signatures); without clearing, later timings silently reuse
         # earlier caches AND accumulate executor-memory/GC pressure
         spark.catalog.clearCache()
+        # localCheckpoint RDD blocks (CC loops, pagerank) are only released
+        # by the ContextCleaner after their py4j refs are GC'd on BOTH
+        # sides; without an explicit collect a 100+-query session slowly
+        # fills storage memory and late queries inherit straggler tails
+        import gc as _gc
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count()  # materialize the full plan
