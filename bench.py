@@ -42,6 +42,29 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - warmup must never kill bench
         print(f"# warmup failed: {e}", file=sys.stderr)
 
+    # headline FIRST (right after warmup): synthetic pages pipeline
+    # throughput. It used to run after the 100+-query section, ~12 minutes
+    # after launch — on this shared host the noise window at launch and the
+    # window at +12 min routinely differ (BENCH/BASELINE.md rows 20-33), so
+    # a run started in a verified-quiet window still drew noisy trials. The
+    # metric itself is unchanged: one untimed warmup of the same plan, then
+    # the MEDIAN of 5 timed trials (the round-3 pinned protocol), all
+    # trials recorded.
+    from geoclimate_spark.plans.flagship import zone_tile_language_mix
+    from geoclimate_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, SYNTH_N, partitions=CPUS * 4)
+    n_groups = zone_tile_language_mix(pages).count()  # warmup, untimed
+    trials = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        zone_tile_language_mix(pages).count()
+        trials.append(round(time.perf_counter() - t0, 3))
+    pipeline_sec = sorted(trials)[len(trials) // 2]
+    print(f"# synth_pipeline: median {pipeline_sec:.2f}s of {trials}, "
+          f"{n_groups} groups", file=sys.stderr)
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         # isolate queries: operators persist intermediates (shingle sets,
@@ -61,26 +84,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    # headline: synthetic pages pipeline throughput
-    from geoclimate_spark.plans.flagship import zone_tile_language_mix
-    from geoclimate_spark.sources.pages import synth_pages
-
-    # the headline runs AFTER 60+ queries: clear caches, one untimed warmup
-    # (JIT/codegen for this plan), then the MEDIAN of 5 timed trials — the
-    # round-3 PINNED protocol (median-of-5 warmed, never best-of) — robust
-    # to the shared host's vCPU-steal spikes; all trials are recorded
-    spark.catalog.clearCache()
-    pages = synth_pages(spark, SYNTH_N, partitions=CPUS * 4)
-    n_groups = zone_tile_language_mix(pages).count()  # warmup, untimed
-    trials = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        zone_tile_language_mix(pages).count()
-        trials.append(round(time.perf_counter() - t0, 3))
-    pipeline_sec = sorted(trials)[len(trials) // 2]
     timings["synth_pipeline"] = round(pipeline_sec, 3)
-    print(f"# synth_pipeline: median {pipeline_sec:.2f}s of {trials}, "
-          f"{n_groups} groups", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_sql
+from ..functions.text import normalize_col, normalize_sql
 
 SEG_TOKENS = 12
 
@@ -44,7 +44,7 @@ def _segments(docs: DataFrame, id_col: str, text_col: str,
     """(id, pos, seg): consecutive k-token segments of the normalized text,
     pos 0-based. A doc always yields >= 1 segment (split('') -> ['']), so
     the total count per doc is (n_tokens + k - 1) div k."""
-    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    t = normalize_col(F.col(text_col))
     segs = F.expr(
         f"transform(sequence(1, (size(_tk) + {k - 1}) div {k}), "
         f"s -> array_join(slice(_tk, (s - 1) * {k} + 1, {k}), ' '))")

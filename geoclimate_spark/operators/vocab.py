@@ -35,14 +35,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_sql
+from ..functions.text import normalize_col, normalize_sql
 
 
 def vocab_coverage(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(term, cf, df, rank, cum_share): corpus vocabulary ordered by
     (cf DESC, term ASC) with exact cumulative token share."""
-    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    t = normalize_col(F.col(text_col))
     toks = (docs.select(F.col(id_col).alias("id"),
                         F.explode(F.split(t, " ")).alias("term")))
     terms = (toks.groupBy("term")
