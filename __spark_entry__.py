@@ -41,7 +41,8 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.operators import langid, linkrank, salience, sketch
-from geoclimate_spark.operators import bloom, segdedup, sprawl, urlnorm, vocab
+from geoclimate_spark.operators import (bloom, kmeans, segdedup, sprawl,
+                                        urlnorm, vocab)
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -167,6 +168,13 @@ def _q_sprawl_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sprawlIndicators dissolve, WorkflowGeoIndicators.groovy:2174-2235)."""
     return sprawl.sprawl_components(_sprawl_tiles(spark, sf_dir),
                                     SPRAWL_RES, SPRAWL_DENSE_MIN)
+
+
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine k-means TRAINING (int64 fixed-point Lloyd's, deterministic
+    seed) — the training run behind the IVF centroid tables; the oracle
+    re-trains through unrolled CTEs and must assign bit-identically."""
+    return kmeans.kmeans_assignments(_emb(spark, sf_dir))
 
 
 def _q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1409,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
+        "kmeans_clusters": _q_kmeans_clusters,        # in-engine training (r4)
         "curation_pipeline_e2e": _q_curation_pipeline_e2e,  # composed chain (r4)
         "vocab_coverage": _q_vocab_coverage,          # bucketed cumsum (r4)
         "topk_docs_per_lang": _q_topk_docs_per_lang,  # salted top-k (r4)
@@ -1609,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "kmeans_clusters": kmeans.kmeans_assignments_sql(),
         "curation_pipeline_e2e": _curation_pipeline_e2e_sql(),
         "vocab_coverage": vocab.vocab_coverage_sql(),
         "topk_docs_per_lang": skew.salted_topk_sql(

@@ -173,6 +173,13 @@ def test_round4_late_curation_plans(spark):
         assert "ArrowEvalPython" not in plan, name
     bloom_plan = _plan(E.queries()["bloom_blocklist_curation"](spark, SF))
     assert "BroadcastHashJoin" in bloom_plan
+    # k-means: vectors × k centroids must ride the constant-key BROADCAST
+    # hash join, never a BroadcastNestedLoopJoin / cartesian
+    km = _plan(E.queries()["kmeans_clusters"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in km
+    assert "CartesianProduct" not in km
+    assert "BroadcastHashJoin" in km
+    assert "BatchEvalPython" not in km
 
 
 def test_pagerank_iteration_plan(spark):

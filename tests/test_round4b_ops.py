@@ -83,6 +83,49 @@ def test_bloom_no_false_negatives_and_actually_prunes(spark):
     assert n_maybe < 250, f"bloom did not prune: {n_maybe}/500 positive"
 
 
+# ------------------------------------------------------------ k-means train
+def _np_kmeans(vecs, k, iters, q=1 << 20):
+    import math
+    qv = [[math.floor(x * q) for x in v] for v in vecs]
+    cents = {c: list(qv[c]) for c in range(k)}
+
+    def assign():
+        out = []
+        for i, v in enumerate(qv):
+            best = min(((sum((a - b) ** 2 for a, b in zip(v, cents[c])), c)
+                        for c in sorted(cents)), key=lambda t: t)
+            out.append((i, best[1], best[0]))
+        return out
+
+    for _ in range(iters):
+        asg = assign()
+        for c in sorted(cents):
+            members = [qv[i] for i, cl, _ in asg if cl == c]
+            if members:
+                cents[c] = [math.floor(sum(col) / len(members))
+                            for col in zip(*members)]
+    return assign()
+
+
+def test_kmeans_matches_python_reference_and_handles_empty_cluster(spark):
+    from geoclimate_spark.operators import kmeans
+    # seeds 0 and 1 identical -> cluster 1 empties on round 1 and must keep
+    # its previous centroid (the coalesce path), exactly like the reference
+    vecs = [[0.1, 0.2, -0.3, 0.4], [0.1, 0.2, -0.3, 0.4],
+            [5.0, 5.1, 4.9, 5.2], [5.1, 5.0, 5.0, 5.1],
+            [-3.0, -3.1, -2.9, -3.0], [0.15, 0.22, -0.28, 0.41]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = sorted(map(tuple, kmeans.kmeans_assignments(
+        df, k=2, iters=2, dim=4).collect()))
+    # the engine quantizes the stored FLOAT32 values; mirror that exactly
+    import numpy as np
+    f32 = [list(map(float, np.array(v, dtype=np.float32))) for v in vecs]
+    want = sorted(_np_kmeans(f32, k=2, iters=2))
+    assert got == want
+
+
 # --------------------------------------------------- vocab coverage / top-k
 def test_vocab_coverage_matches_naive_window(spark):
     """The bucketed two-phase cumsum must equal the naive global-order
