@@ -170,6 +170,13 @@ def _q_sprawl_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     SPRAWL_RES, SPRAWL_DENSE_MIN)
 
 
+def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over lists the engine TRAINED itself (kmeans.py) —
+    train → index → serve in one oracled query; output schema/tie rules
+    match the rest of the ANN ladder."""
+    return kmeans.ivf_trained_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine k-means TRAINING (int64 fixed-point Lloyd's, deterministic
     seed) — the training run behind the IVF centroid tables; the oracle
@@ -1418,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
         "kmeans_clusters": _q_kmeans_clusters,        # in-engine training (r4)
+        "ann_topk_ivf_trained": _q_ann_ivf_trained,   # train→index→serve (r4)
         "curation_pipeline_e2e": _q_curation_pipeline_e2e,  # composed chain (r4)
         "vocab_coverage": _q_vocab_coverage,          # bucketed cumsum (r4)
         "topk_docs_per_lang": _q_topk_docs_per_lang,  # salted top-k (r4)
@@ -1619,6 +1627,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         # -- round 4 --
         "kmeans_clusters": kmeans.kmeans_assignments_sql(),
+        "ann_topk_ivf_trained": kmeans.ivf_trained_topk_sql(
+            ANN_QUERY_IDS, ANN_K),
         "curation_pipeline_e2e": _curation_pipeline_e2e_sql(),
         "vocab_coverage": vocab.vocab_coverage_sql(),
         "topk_docs_per_lang": skew.salted_topk_sql(

@@ -175,11 +175,12 @@ def test_round4_late_curation_plans(spark):
     assert "BroadcastHashJoin" in bloom_plan
     # k-means: vectors × k centroids must ride the constant-key BROADCAST
     # hash join, never a BroadcastNestedLoopJoin / cartesian
-    km = _plan(E.queries()["kmeans_clusters"](spark, SF))
-    assert "BroadcastNestedLoopJoin" not in km
-    assert "CartesianProduct" not in km
-    assert "BroadcastHashJoin" in km
-    assert "BatchEvalPython" not in km
+    for name in ("kmeans_clusters", "ann_topk_ivf_trained"):
+        km = _plan(E.queries()[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in km, name
+        assert "CartesianProduct" not in km, name
+        assert "BroadcastHashJoin" in km, name
+        assert "BatchEvalPython" not in km, name
 
 
 def test_pagerank_iteration_plan(spark):
