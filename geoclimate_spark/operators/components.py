@@ -92,11 +92,17 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     labels = edge_verts.select("vid", F.col("vid").alias("label"))
     changed = -1
     for it in range(max_iter):
-        prop = (sym.join(labels, sym["src"] == labels["vid"])
-                .groupBy("dst").agg(F.min("label").alias("new_label")))
-        l1 = (labels.join(prop, labels["vid"] == prop["dst"])
-              .select("vid", F.least("label", "new_label").alias("label"),
-                      F.col("label").alias("_old")))
+        # ONE join + ONE agg per neighbor-min round: sym carries a self-loop
+        # (vid, vid) for every edge vertex, so the grouped rows for dst
+        # include dst's own label — min(label) is already least(old, min of
+        # neighbors), and the self-loop row (src = dst) is the one place the
+        # OLD label can be read back out without a second join against the
+        # labels frame.
+        l1 = (sym.join(labels, sym["src"] == labels["vid"])
+              .groupBy(F.col("dst").alias("vid"))
+              .agg(F.min("label").alias("label"),
+                   F.min(F.when(F.col("src") == F.col("dst"),
+                                F.col("label"))).alias("_old")))
         if it >= 2:
             # pointer jump: relabel through the mapping itself. Skipped for
             # the first rounds — clique-shaped graphs (near-dup groups,
