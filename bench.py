@@ -78,6 +78,16 @@ def main() -> None:
         import gc as _gc
         _gc.collect()
         spark.sparkContext._jvm.System.gc()
+        # one untimed warmup run, then the timed run — the SAME protocol the
+        # headline uses. The first execution of a plan shape pays one-time
+        # JVM codegen/JIT compilation (measured: dedup_minhash_lsh 10.3 s
+        # cold vs 2.1 s steady-state at sf0.1); at the target scale that
+        # compile cost amortizes to zero, so recording it as the per-query
+        # cost misranks the operators. clearCache between the runs makes the
+        # timed run recompute everything (persists are re-materialized;
+        # fresh DataFrame lineage means no shuffle-stage reuse either).
+        fn(spark, SF_DIR).count()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count()  # materialize the full plan

@@ -38,6 +38,17 @@ _EN_STOPS = LANG_STOPWORDS[0][1]
 # Non [a-z0-9 space] after normalization counts as punctuation.
 _PUNCT_CLASS = "[a-z0-9 ]"
 
+# GPT-2-style pretokenizer over NORMALIZED text (lowercase, single spaces):
+# contraction suffix | space?+letter run | space?+digit run | space?+other
+# run. Restricted to literal classes whose match semantics are identical in
+# Java regex (Spark) and RE2 (DuckDB) — both are leftmost-first across
+# alternatives and greedy within a class, so the token stream (not just the
+# count) is bit-identical across engines. This splits where a real BPE
+# pretokenizer splits (letter/digit/punct boundaries, attached leading
+# space), which is what token-budget accounting needs; the learned-merge
+# step below the pretokenizer only subdivides these pieces further.
+BPE_PRETOKEN_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
 
 # ---------------------------------------------------------------- Spark path
 def normalize_col(text: Column) -> Column:
@@ -48,6 +59,14 @@ def normalize_col(text: Column) -> Column:
 
 def tokens_col(norm: Column) -> Column:
     return F.split(norm, " ")
+
+
+def bpe_tokens_col(norm: Column) -> Column:
+    """BPE-ish pretokens of the NORMALIZED text as an array — one
+    ``regexp_extract_all`` inside the scan projection (codegen, no Python).
+    Empty normalized text yields an empty array (whitespace ``tokens_col``
+    yields [''] there — callers comparing the two counts see 0 vs 1)."""
+    return F.regexp_extract_all(norm, F.lit(BPE_PRETOKEN_PATTERN), 0)
 
 
 def _stop_hits_col(toks: Column, stops: tuple[str, ...]) -> Column:
@@ -97,6 +116,13 @@ def text_metrics_cols(text: Column) -> dict[str, Column]:
 # ------------------------------------------------------------------ SQL path
 def normalize_sql(text_sql: str) -> str:
     return f"trim(regexp_replace(lower({text_sql}), '\\s+', ' ', 'g'))"
+
+
+def bpe_tokens_sql(norm_sql: str) -> str:
+    """DuckDB dual of :func:`bpe_tokens_col` (RE2 matches the Java-regex
+    token stream for this pattern — see BPE_PRETOKEN_PATTERN)."""
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"regexp_extract_all({norm_sql}, '{pat}')"
 
 
 def _stop_hits_sql(norm: str, stops: tuple[str, ...]) -> str:

@@ -194,3 +194,19 @@ def test_pagerank_iteration_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_winnow_and_bpe_plans(spark):
+    """winnow_dup_pairs: the fingerprint compute is ONE MapInPandas over the
+    scan (vectorized numpy, no shuffle before it); everything downstream is
+    equi-join/hash-agg — no cartesian/BNLJ, no row-wise Python. The BPE
+    pretoken query must stay pure codegen (no Python node of any kind)."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["winnow_dup_pairs"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    bpe = _plan(E.queries()["bpe_token_stats"](spark, SF))
+    assert "Python" not in bpe and "Pandas" not in bpe
+    assert "CartesianProduct" not in bpe
