@@ -27,6 +27,28 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SYNTH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "1000000"))
 
 
+def _cpu_sample() -> tuple[int, int]:
+    f = open("/proc/stat").readline().split()[1:]
+    v = [int(x) for x in f]
+    return sum(v), v[7]  # total jiffies, steal jiffies
+
+
+def _membw_gbps() -> float:
+    """~1 s single-thread memory-bandwidth probe (numpy sum over a
+    cache-defeating 256 MiB array). The shared host's effective DRAM share
+    swings ~1.6× between windows with ZERO /proc/stat steal (see
+    BENCH/bandwidth_probe.py), so each artifact records its own window."""
+    import numpy as np
+    a = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MiB
+    a.sum()  # fault pages in
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 0.8:
+        a.sum()
+        n += 1
+    return round(n * a.nbytes / (time.perf_counter() - t0) / 1e9, 2)
+
+
 def main() -> None:
     from geoclimate_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -55,11 +77,21 @@ def main() -> None:
 
     pages = synth_pages(spark, SYNTH_N, partitions=CPUS * 4)
     n_groups = zone_tile_language_mix(pages).count()  # warmup, untimed
+    membw_pre = _membw_gbps()
+    cpu0 = _cpu_sample()
     trials = []
     for _ in range(5):
         t0 = time.perf_counter()
         zone_tile_language_mix(pages).count()
         trials.append(round(time.perf_counter() - t0, 3))
+    cpu1 = _cpu_sample()
+    membw_post = _membw_gbps()
+    host = {
+        "steal_pct_headline": round(100.0 * (cpu1[1] - cpu0[1])
+                                    / max(1, cpu1[0] - cpu0[0]), 2),
+        "membw_gbps_pre": membw_pre,
+        "membw_gbps_post": membw_post,
+    }
     pipeline_sec = sorted(trials)[len(trials) // 2]
     print(f"# synth_pipeline: median {pipeline_sec:.2f}s of {trials}, "
           f"{n_groups} groups", file=sys.stderr)
@@ -107,6 +139,7 @@ def main() -> None:
         "throughput_pages_per_sec": round(SYNTH_N / pipeline_sec, 1),
         "pipeline_trials": trials,
         "cpus": CPUS,
+        "host": host,
     }
     scaling_path = Path(__file__).parent / "BENCH" / "scaling_latest.json"
     if scaling_path.exists():
@@ -127,7 +160,7 @@ def main() -> None:
     # as many per-query timings as fit (slowest first — the informative end)
     compact = {k: result[k] for k in (
         "metric", "value", "unit", "sf", "synth_pages",
-        "throughput_pages_per_sec", "pipeline_trials", "cpus")}
+        "throughput_pages_per_sec", "pipeline_trials", "cpus", "host")}
     if "scaling" in result:
         s = result["scaling"]
         compact["scaling"] = {k: s[k] for k in (
