@@ -83,6 +83,40 @@ def _horner(terms: list[str]) -> str:
 
 
 # ---------------------------------------------------------------- Spark path
+def winnow_doc(txt: str, k: int = K_GRAM, w: int = WINNOW_W):
+    """Per-doc kernel: (gram_count, distinct sorted packed selection keys)
+    over an ALREADY-NORMALIZED text. Pure numpy; property-tested against a
+    character-at-a-time O(1)-update rolling-hash reference
+    (tests/test_winnow.py) — the vectorized Horner computes the same hash
+    values the streaming recurrence produces."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    # utf-32-le view = codepoint array in one vectorized decode
+    # (matches ascii()/unicode() per char in both SQL engines)
+    codes = np.frombuffer(txt.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.int64)
+    if codes.size == 0:
+        codes = np.zeros(1, dtype=np.int64)  # ascii('') = 0
+    n = len(txt)
+    g = max(n - k + 1, 1)
+    if n >= k:
+        h = np.zeros(g, dtype=np.int64)
+        for j in range(k):              # k vector Horner steps
+            h = (h * HASH_BASE + codes[j:j + g]) % HASH_MOD
+    else:                               # one gram over the whole text
+        acc = 0
+        for c in codes:
+            acc = (acc * HASH_BASE + int(c)) % HASH_MOD
+        h = np.array([acc], dtype=np.int64)
+    keys = h * _POS + (_POS - 1 - np.arange(1, g + 1, dtype=np.int64))
+    if g >= w:
+        mins = sliding_window_view(keys, w).min(axis=1)
+    else:
+        mins = keys.min(keepdims=True)
+    return g, np.unique(mins)
+
+
 def winnow_fingerprint_arrays(docs: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text", k: int = K_GRAM,
                               w: int = WINNOW_W) -> DataFrame:
@@ -94,7 +128,7 @@ def winnow_fingerprint_arrays(docs: DataFrame, id_col: str = "doc_id",
     2 GiB, three orders of magnitude below)."""
     from collections.abc import Iterator
 
-    import numpy as np
+    import numpy as np  # noqa: F401 — sel arrays in run() are np.ndarray
     import pandas as pd
 
     t = normalize_col(F.col(text_col))
@@ -105,32 +139,9 @@ def winnow_fingerprint_arrays(docs: DataFrame, id_col: str = "doc_id",
             gs: list[int] = []
             sels: list[np.ndarray] = []
             for txt in pdf["_t"]:
-                # utf-32-le view = codepoint array in one vectorized decode
-                # (matches ascii()/unicode() per char in both SQL engines)
-                codes = np.frombuffer(txt.encode("utf-32-le"),
-                                      dtype=np.uint32).astype(np.int64)
-                if codes.size == 0:
-                    codes = np.zeros(1, dtype=np.int64)  # ascii('') = 0
-                n = len(txt)
-                g = max(n - k + 1, 1)
-                if n >= k:
-                    h = np.zeros(g, dtype=np.int64)
-                    for j in range(k):          # k vector Horner steps
-                        h = (h * HASH_BASE + codes[j:j + g]) % HASH_MOD
-                else:                           # one gram over the whole text
-                    acc = 0
-                    for c in codes:
-                        acc = (acc * HASH_BASE + int(c)) % HASH_MOD
-                    h = np.array([acc], dtype=np.int64)
-                keys = h * _POS + (_POS - 1 - np.arange(1, g + 1,
-                                                        dtype=np.int64))
-                if g >= w:
-                    from numpy.lib.stride_tricks import sliding_window_view
-                    mins = sliding_window_view(keys, w).min(axis=1)
-                else:
-                    mins = keys.min(keepdims=True)
+                g, sel = winnow_doc(txt, k, w)
                 gs.append(g)
-                sels.append(np.unique(mins))
+                sels.append(sel)
             yield pd.DataFrame({"id": pdf["id"].to_numpy(),
                                 "_g": pd.Series(gs, dtype="int32"),
                                 "sel": sels})

@@ -94,3 +94,57 @@ def test_bpe_pretokens_match_duckdb(spark):
         normed = con.execute(
             "select " + text_fn.normalize_sql("?"), [t]).fetchone()[0]
         assert "".join(row["toks"]) == normed, t
+
+
+# ---- property: vectorized kernel == character-at-a-time rolling reference
+def _rolling_reference(txt: str, k: int, w: int):
+    """Textbook streaming winnower: O(1)-update Karp-Rabin over a char
+    stream + the paper's window-minimum selection (rightmost min). Pure
+    Python ints — an independent implementation of the same definition."""
+    B, M = winnow.HASH_BASE, winnow.HASH_MOD
+    codes = [ord(c) for c in txt] or [0]
+    n = len(txt)
+    if n >= k:
+        h = 0
+        for c in codes[:k]:
+            h = (h * B + c) % M
+        hashes = [h]
+        bk = pow(B, k - 1, M)
+        for i in range(1, n - k + 1):           # O(1) update per char
+            h = ((h - codes[i - 1] * bk) * B + codes[i + k - 1]) % M
+            hashes.append(h)
+    else:
+        h = 0
+        for c in codes:
+            h = (h * B + c) % M
+        hashes = [h]
+    g = len(hashes)
+    sel = set()
+    for s in range(max(g - w + 1, 1)):
+        window = hashes[s:s + w]
+        m = min(window)
+        p = s + max(i for i, v in enumerate(window) if v == m) + 1  # 1-based
+        sel.add(m * winnow._POS + (winnow._POS - 1 - p))
+    return g, sorted(sel)
+
+
+def test_kernel_matches_rolling_reference_fixed():
+    for txt in [t for _, t in TEXTS] + ["a" * 100, "ab" * 50]:
+        g, sel = winnow.winnow_doc(txt)
+        rg, rsel = _rolling_reference(txt, winnow.K_GRAM, winnow.WINNOW_W)
+        assert (g, list(sel)) == (rg, rsel), txt[:40]
+
+
+def test_kernel_matches_rolling_reference_property():
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="ab x0é", max_size=200),
+           st.integers(2, 8), st.integers(1, 6))
+    def prop(txt, k, w):
+        g, sel = winnow.winnow_doc(txt, k, w)
+        rg, rsel = _rolling_reference(txt, k, w)
+        assert (g, list(sel)) == (rg, rsel)
+
+    prop()
