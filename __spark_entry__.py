@@ -41,8 +41,8 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.operators import langid, linkrank, salience, sketch
-from geoclimate_spark.operators import (bloom, kmeans, segdedup, sprawl,
-                                        urlnorm, vocab, winnow)
+from geoclimate_spark.operators import (bloom, kmeans, lmquality, segdedup,
+                                        sprawl, urlnorm, vocab, winnow)
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -313,6 +313,14 @@ def _q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style overlap pairs over the winnowed fingerprint index
     (inverted index + max_df stop-key cap — the scalable pair join)."""
     return winnow.winnow_dup_pairs(_docs(spark, sf_dir))
+
+
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality filter: char-bigram LM trained
+    in-query on the deterministic doc_id%3 slice, docs scored by mean
+    integer surprisal bits (floor-log2 via bin()-length — no libm), kept
+    under a literal threshold."""
+    return lmquality.lm_quality_scores(_docs(spark, sf_dir))
 
 
 def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has pytest coverage regardless of window position."""
     return {
         # -- block 0: NEW in round 4 (never driver-verified) --
+        "lm_quality_scores": _q_lm_quality,             # bigram-LM ppl filter (r4)
         "winnow_fingerprints": _q_winnow_fingerprints,  # rolling-hash winnowing (r4)
         "winnow_dup_pairs": _q_winnow_dup_pairs,        # MOSS overlap pairs (r4)
         "bpe_token_stats": _q_bpe_token_stats,          # BPE-ish pretokens (r4)
@@ -1671,6 +1680,7 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "lm_quality_scores": lmquality.lm_quality_sql(),
         "winnow_fingerprints": winnow.winnow_fingerprints_sql(),
         "winnow_dup_pairs": winnow.winnow_dup_pairs_sql(),
         "bpe_token_stats": _bpe_token_stats_sql(),

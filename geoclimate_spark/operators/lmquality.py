@@ -1,0 +1,154 @@
+"""Char-bigram LM perplexity-proxy quality filter — the CCNet stage.
+
+CCNet/Dolma-style corpora keep or drop documents by language-model
+perplexity: a small LM is trained on a trusted slice, every candidate
+document is scored by average per-token surprisal, and high-perplexity
+(gibberish, boilerplate soup, OCR noise) documents are cut. This operator
+grafts that stage with a character-bigram LM trained IN-QUERY on a
+deterministic corpus slice — the same train-inside-the-query discipline as
+:mod:`.langid` (profiles) and :mod:`.kmeans` (centroids).
+
+Reference analogue: the rule-table-driven quality filters of
+`/root/reference/osm/src/main/.../InputDataFormatting.groovy:48-193`
+(regex + threshold tables deciding which rows survive) — here the "table"
+is a learned bigram surprisal map and the threshold is on mean surprisal.
+
+No libm anywhere: the classic score is Σ −log2 p(c_i | c_{i−1}), and
+``log``/``ln`` differ across engines in the last ulp. Instead:
+
+* add-one smoothed conditional surprisal per bigram, kept RATIONAL:
+  ``surp_scaled = ((n_prefix + V) * 2^10) div (n_bigram + 1)`` — exact
+  int64 (n_prefix ≤ corpus chars ≈ 10^12 at 100 TB; ·2^10 ≪ 2^63), and
+  ≥ 2^10 because n_bigram ≤ n_prefix;
+* integer floor-log2 via the binary-string length identity
+  ``floor(log2(x)) = length(bin(x)) − 1`` — ``bin``/``length`` are
+  string-exact in BOTH Spark and DuckDB (verified 1/5/1023/1024), so the
+  per-bigram "bits" are integers that agree bit-for-bit;
+* a document's score is the SUM of integer bits over its bigram
+  occurrences (out-of-vocabulary bigrams get the literal ``OOV_BITS``
+  penalty); the only double is the final mean-bits-per-bigram division.
+
+``bits ≈ log2(surprisal) + 10``: a bigram seen as often as its prefix
+scores ~10, a one-in-a-million bigram ~30. The keep-threshold is on the
+mean, like CCNet's per-language perplexity cutoffs.
+
+Scale shape: the LM is (distinct train bigrams) rows — alphabet², a
+broadcast constant. Candidate documents explode to bigram occurrences
+JVM-side (codegen ``sequence`` + ``substring``), one BROADCAST join tags
+each occurrence with its bits, one groupBy(doc) sums — no shuffle wider
+than one row per doc after the partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_col, normalize_sql
+from .langid import _bigrams_col
+
+TRAIN_MOD = 3          # doc_id % TRAIN_MOD == 0 -> training slice
+SURP_SHIFT = 10        # surprisal scale 2^10
+OOV_BITS = 32          # literal penalty for bigrams unseen in training
+KEEP_MAX_MEAN_BITS = 11.95  # keep docs with mean bits <= this
+
+
+def train_bigram_lm(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    train_mod: int = TRAIN_MOD) -> DataFrame:
+    """(bigram, bits): integer surprisal bits of every bigram seen in the
+    deterministic training slice. V (add-one vocabulary size) = distinct
+    first-chars + 1, a deterministic integer derived from the slice."""
+    train = (docs.where(F.col(text_col).isNotNull()
+                        & (F.col(id_col) % train_mod == 0))
+             .select(normalize_col(F.col(text_col)).alias("_norm")))
+    from pyspark.sql import Window
+
+    bg = (train.select(F.explode(_bigrams_col("_norm")).alias("bigram"))
+          .groupBy("bigram").agg(F.count("*").alias("n_bg")))
+    # V rides as a global window count over the alphabet-sized prefix frame
+    # (≤ |alphabet| rows in ONE partition — not a scalar-subquery join,
+    # which would plan as a 1-row BroadcastNestedLoopJoin)
+    pre = (bg.groupBy(F.substring("bigram", 1, 1).alias("_pfx"))
+           .agg(F.sum("n_bg").alias("n_pre"))
+           .withColumn("_v", F.count("*").over(
+               Window.partitionBy(F.lit(1))) + 1))
+    surp = (bg.join(pre, F.substring(bg["bigram"], 1, 1) == pre["_pfx"])
+            .select("bigram",
+                    ((F.col("n_pre") + F.col("_v"))
+                     * F.lit(1 << SURP_SHIFT).cast("long"))
+                    .cast("long").alias("_num"),
+                    (F.col("n_bg") + 1).alias("_den")))
+    scaled = surp.select(
+        "bigram", F.expr("_num div _den").alias("_surp"))
+    return scaled.select(
+        "bigram",
+        (F.length(F.expr("bin(_surp)")) - 1).cast("long").alias("bits"))
+
+
+def lm_quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", train_mod: int = TRAIN_MOD,
+                      oov_bits: int = OOV_BITS,
+                      keep_max_mean: float = KEEP_MAX_MEAN_BITS) -> DataFrame:
+    """Per-doc LM quality: (doc_id, n_bigrams, total_bits, mean_bits, keep).
+    Docs whose normalized text has no bigram (len < 2) are dropped — their
+    mean is undefined and real pipelines cut them on length first."""
+    lm = train_bigram_lm(docs, id_col, text_col, train_mod)
+    occ = (docs.where(F.col(text_col).isNotNull())
+           .select(F.col(id_col),
+                   normalize_col(F.col(text_col)).alias("_norm"))
+           .select(id_col, F.explode(_bigrams_col("_norm")).alias("bigram")))
+    scored = (occ.join(F.broadcast(lm), "bigram", "left")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum(F.coalesce(F.col("bits"),
+                                    F.lit(oov_bits).cast("long")))
+                   .alias("total_bits")))
+    mean = F.col("total_bits").cast("double") / F.col("n_bigrams").cast("double")
+    return scored.select(
+        id_col, "n_bigrams", "total_bits", mean.alias("mean_bits"),
+        (mean <= F.lit(keep_max_mean)).alias("keep"))
+
+
+# --------------------------------------------------------------- DuckDB dual
+def _bigrams_sql(norm: str) -> str:
+    return (f"CASE WHEN length({norm}) < 2 THEN [] "
+            f"ELSE list_transform(generate_series(1, length({norm}) - 1), "
+            f"i -> substr({norm}, i, 2)) END")
+
+
+def lm_quality_sql(doc_rel: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text", train_mod: int = TRAIN_MOD,
+                   oov_bits: int = OOV_BITS,
+                   keep_max_mean: float = KEEP_MAX_MEAN_BITS) -> str:
+    norm = normalize_sql(text_col)
+    return f"""WITH train AS (
+  SELECT {norm} AS _norm FROM {doc_rel}
+  WHERE {text_col} IS NOT NULL AND {id_col} % {train_mod} = 0),
+bg AS (
+  SELECT bigram, COUNT(*) AS n_bg FROM (
+    SELECT unnest({_bigrams_sql("_norm")}) AS bigram FROM train)
+  GROUP BY bigram),
+pre AS (
+  SELECT substr(bigram, 1, 1) AS _pfx, SUM(n_bg) AS n_pre
+  FROM bg GROUP BY _pfx),
+v AS (SELECT COUNT(*) + 1 AS _v FROM pre),
+lm AS (
+  SELECT bigram,
+         CAST(length(bin(((n_pre + _v) * {1 << SURP_SHIFT}) // (n_bg + 1)))
+              AS BIGINT) - 1 AS bits
+  FROM bg JOIN pre ON substr(bg.bigram, 1, 1) = pre._pfx CROSS JOIN v),
+occ AS (
+  SELECT {id_col}, unnest({_bigrams_sql(norm)}) AS bigram
+  FROM {doc_rel} WHERE {text_col} IS NOT NULL),
+scored AS (
+  SELECT o.{id_col},
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(COALESCE(l.bits, {oov_bits})) AS BIGINT) AS total_bits
+  FROM occ o LEFT JOIN lm l ON l.bigram = o.bigram
+  GROUP BY o.{id_col})
+SELECT {id_col}, n_bigrams, total_bits,
+       CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS mean_bits,
+       (CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         <= {keep_max_mean} AS keep
+FROM scored"""

@@ -210,3 +210,15 @@ def test_winnow_and_bpe_plans(spark):
     bpe = _plan(E.queries()["bpe_token_stats"](spark, SF))
     assert "Python" not in bpe and "Pandas" not in bpe
     assert "CartesianProduct" not in bpe
+
+
+def test_lm_quality_plan(spark):
+    """lm_quality_scores: the trained LM reaches the occurrence stream via a
+    BROADCAST hash join on the bigram key; no cartesian/BNLJ (the V scalar
+    rides a window, not a 1-row join), nothing touches Python."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["lm_quality_scores"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
