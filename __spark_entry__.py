@@ -41,8 +41,9 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.operators import langid, linkrank, salience, sketch
-from geoclimate_spark.operators import (bloom, kmeans, lmquality, segdedup,
-                                        sprawl, urlnorm, vocab, winnow)
+from geoclimate_spark.operators import (bloom, bm25, kmeans, lmquality,
+                                        segdedup, sprawl, urlnorm, vocab,
+                                        winnow)
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -313,6 +314,20 @@ def _q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style overlap pairs over the winnowed fingerprint index
     (inverted index + max_df stop-key cap — the scalable pair join)."""
     return winnow.winnow_dup_pairs(_docs(spark, sf_dir))
+
+
+# literal query-term sets (the fixture vocabulary is the synthetic
+# OLAP-word corpus); mixes corpus-common terms (df ~ 80%) with the one
+# rare term ('dup', df ~ 5%) so idf actually orders the results
+BM25_QUERIES = [(0, ["hash", "join"]), (1, ["dup", "scan"]),
+                (2, ["vector", "batch", "sort"]), (3, ["the", "dup"])]
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (k1=6/5, b=3/4 as exact rationals; idf via the
+    integer floor-log2 surrogate; per-doc scores are exact int64 sums until
+    one final double division)."""
+    return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES)
 
 
 def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1462,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has pytest coverage regardless of window position."""
     return {
         # -- block 0: NEW in round 4 (never driver-verified) --
+        "bm25_search": _q_bm25_search,                  # BM25 top-k retrieval (r4)
         "lm_quality_scores": _q_lm_quality,             # bigram-LM ppl filter (r4)
         "winnow_fingerprints": _q_winnow_fingerprints,  # rolling-hash winnowing (r4)
         "winnow_dup_pairs": _q_winnow_dup_pairs,        # MOSS overlap pairs (r4)
@@ -1680,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "bm25_search": bm25.bm25_topk_sql(BM25_QUERIES),
         "lm_quality_scores": lmquality.lm_quality_sql(),
         "winnow_fingerprints": winnow.winnow_fingerprints_sql(),
         "winnow_dup_pairs": winnow.winnow_dup_pairs_sql(),

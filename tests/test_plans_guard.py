@@ -222,3 +222,15 @@ def test_lm_quality_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_bm25_plan(spark):
+    """bm25_search: query terms, df table and corpus stats all reach the
+    postings via broadcast hash joins (the stats row through the
+    column-derived constant key); no cartesian/BNLJ, no Python."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["bm25_search"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
