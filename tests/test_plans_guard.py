@@ -234,3 +234,15 @@ def test_bm25_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_bpe_train_plan(spark):
+    """bpe_train_merges: the winning pair reaches the merge projection via
+    the column-derived constant-key broadcast (never a BNLJ); the loop's
+    round frames are localCheckpoint-truncated, so the final plan is O(1)
+    in the round count; no Python anywhere."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["bpe_train_merges"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
