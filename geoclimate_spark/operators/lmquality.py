@@ -25,8 +25,10 @@ No libm anywhere: the classic score is Σ −log2 p(c_i | c_{i−1}), and
   string-exact in BOTH Spark and DuckDB (verified 1/5/1023/1024), so the
   per-bigram "bits" are integers that agree bit-for-bit;
 * a document's score is the SUM of integer bits over its bigram
-  occurrences (out-of-vocabulary bigrams get the literal ``OOV_BITS``
-  penalty); the only double is the final mean-bits-per-bigram division.
+  occurrences; out-of-vocabulary bigrams get a penalty DERIVED from the
+  trained LM (max seen bits + ``OOV_MARGIN_BITS``) so OOV always scores
+  strictly worse than the rarest seen bigram at every corpus scale; the
+  only double is the final mean-bits-per-bigram division.
 
 ``bits ≈ log2(surprisal) + 10``: a bigram seen as often as its prefix
 scores ~10, a one-in-a-million bigram ~30. The keep-threshold is on the
@@ -49,7 +51,12 @@ from .langid import _bigrams_col
 
 TRAIN_MOD = 3          # doc_id % TRAIN_MOD == 0 -> training slice
 SURP_SHIFT = 10        # surprisal scale 2^10
-OOV_BITS = 32          # literal penalty for bigrams unseen in training
+# OOV penalty margin: an unseen bigram scores MAX(seen bits) + this. The
+# penalty is DERIVED from the trained LM, not a literal — a fixed literal
+# would fall below the seen-bigram ceiling once prefix counts grow past
+# 2^(literal - 10) (at 10^12 corpus chars seen bits reach ~50), silently
+# scoring gibberish better than rare-but-real text.
+OOV_MARGIN_BITS = 2
 KEEP_MAX_MEAN_BITS = 11.95  # keep docs with mean bits <= this
 
 
@@ -88,21 +95,29 @@ def train_bigram_lm(docs: DataFrame, id_col: str = "doc_id",
 
 def lm_quality_scores(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", train_mod: int = TRAIN_MOD,
-                      oov_bits: int = OOV_BITS,
+                      oov_margin: int = OOV_MARGIN_BITS,
                       keep_max_mean: float = KEEP_MAX_MEAN_BITS) -> DataFrame:
     """Per-doc LM quality: (doc_id, n_bigrams, total_bits, mean_bits, keep).
     Docs whose normalized text has no bigram (len < 2) are dropped — their
     mean is undefined and real pipelines cut them on length first."""
     lm = train_bigram_lm(docs, id_col, text_col, train_mod)
+    # derived OOV penalty = MAX(seen bits) + margin: a 1-row aggregate of
+    # the LM, attached to the occurrence stream through the column-derived
+    # constant-key broadcast (kmeans idiom — a literal key would fold into
+    # a BNLJ; a window over occ would be a one-partition scale-killer)
+    oov = (lm.agg((F.max("bits") + F.lit(oov_margin)).cast("long")
+                  .alias("_oov")))
     occ = (docs.where(F.col(text_col).isNotNull())
            .select(F.col(id_col),
                    normalize_col(F.col(text_col)).alias("_norm"))
-           .select(id_col, F.explode(_bigrams_col("_norm")).alias("bigram")))
+           .select(id_col, F.explode(_bigrams_col("_norm")).alias("bigram"))
+           .withColumn("_one", F.pmod(F.crc32(F.col("bigram")), F.lit(1)))
+           .join(F.broadcast(oov.withColumn(
+               "_one", F.pmod(F.col("_oov"), F.lit(1)))), "_one"))
     scored = (occ.join(F.broadcast(lm), "bigram", "left")
               .groupBy(id_col)
               .agg(F.count("*").alias("n_bigrams"),
-                   F.sum(F.coalesce(F.col("bits"),
-                                    F.lit(oov_bits).cast("long")))
+                   F.sum(F.coalesce(F.col("bits"), F.col("_oov")))
                    .alias("total_bits")))
     mean = F.col("total_bits").cast("double") / F.col("n_bigrams").cast("double")
     return scored.select(
@@ -119,7 +134,7 @@ def _bigrams_sql(norm: str) -> str:
 
 def lm_quality_sql(doc_rel: str = "documents", id_col: str = "doc_id",
                    text_col: str = "text", train_mod: int = TRAIN_MOD,
-                   oov_bits: int = OOV_BITS,
+                   oov_margin: int = OOV_MARGIN_BITS,
                    keep_max_mean: float = KEEP_MAX_MEAN_BITS) -> str:
     norm = normalize_sql(text_col)
     return f"""WITH train AS (
@@ -138,14 +153,15 @@ lm AS (
          CAST(length(bin(((n_pre + _v) * {1 << SURP_SHIFT}) // (n_bg + 1)))
               AS BIGINT) - 1 AS bits
   FROM bg JOIN pre ON substr(bg.bigram, 1, 1) = pre._pfx CROSS JOIN v),
+oov AS (SELECT CAST(MAX(bits) + {oov_margin} AS BIGINT) AS _oov FROM lm),
 occ AS (
   SELECT {id_col}, unnest({_bigrams_sql(norm)}) AS bigram
   FROM {doc_rel} WHERE {text_col} IS NOT NULL),
 scored AS (
   SELECT o.{id_col},
          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         CAST(SUM(COALESCE(l.bits, {oov_bits})) AS BIGINT) AS total_bits
-  FROM occ o LEFT JOIN lm l ON l.bigram = o.bigram
+         CAST(SUM(COALESCE(l.bits, v._oov)) AS BIGINT) AS total_bits
+  FROM occ o CROSS JOIN oov v LEFT JOIN lm l ON l.bigram = o.bigram
   GROUP BY o.{id_col})
 SELECT {id_col}, n_bigrams, total_bits,
        CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS mean_bits,

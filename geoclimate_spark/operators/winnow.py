@@ -153,7 +153,7 @@ def winnow_fingerprint_arrays(docs: DataFrame, id_col: str = "doc_id",
 # these formulas via format strings)
 _VAL = f"({{key}} div {_POS})"
 _VAL_DUCK = f"({{key}} // {_POS})"
-_POS_OF = f"({_POS} - 1 - ({{key}} % {_POS}))"
+# position half, for consumers that need it: (2^32 - 1) - (key % 2^32)
 
 
 def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",

@@ -47,18 +47,29 @@ def test_no_bigram_and_null_docs_dropped(lm_rows):
     assert 7 not in lm_rows and 8 not in lm_rows
 
 
-def test_gibberish_scores_worse(lm_rows):
-    assert lm_rows[2]["mean_bits"] > lm_rows[1]["mean_bits"] + 5
+@pytest.fixture(scope="module")
+def oov_penalty(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    lm = lmquality.train_bigram_lm(df)
+    from pyspark.sql import functions as F
+    return (lm.agg(F.max("bits")).collect()[0][0]
+            + lmquality.OOV_MARGIN_BITS)
+
+
+def test_gibberish_scores_worse(lm_rows, oov_penalty):
+    assert lm_rows[2]["mean_bits"] > lm_rows[1]["mean_bits"] + 3
     # nearly every gibberish bigram is OOV (only the space-adjacent ones
-    # like ' q' exist in train) -> mean approaches the OOV penalty
-    assert lm_rows[2]["mean_bits"] > lmquality.OOV_BITS - 4
+    # like ' q' exist in train) -> mean approaches the derived penalty,
+    # and no doc can exceed it
+    assert lm_rows[2]["mean_bits"] > oov_penalty - 4
+    assert all(r["mean_bits"] <= oov_penalty for r in lm_rows.values())
 
 
 def test_oov_chars_raise_score(lm_rows):
     assert lm_rows[4]["mean_bits"] > lm_rows[1]["mean_bits"]
 
 
-def test_train_docs_score_low(lm_rows):
+def test_train_docs_score_low(lm_rows, oov_penalty):
     # training docs are in-distribution by construction
     for d in (0, 3, 6):
-        assert lm_rows[d]["mean_bits"] < lmquality.OOV_BITS / 2
+        assert lm_rows[d]["mean_bits"] < oov_penalty - 2
