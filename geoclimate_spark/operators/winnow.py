@@ -132,7 +132,10 @@ def winnow_fingerprint_arrays(docs: DataFrame, id_col: str = "doc_id",
     import pandas as pd
 
     t = normalize_col(F.col(text_col))
-    src = docs.select(F.col(id_col).cast("long").alias("id"), t.alias("_t"))
+    # NULL texts are dropped (the numpy kernel has no NULL repr; the SQL
+    # dual drops them identically) — empty STRINGS still fingerprint
+    src = (docs.where(F.col(text_col).isNotNull())
+           .select(F.col(id_col).cast("long").alias("id"), t.alias("_t")))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,7 +220,8 @@ def _fp_rows_cte_sql(doc_rel: str, id_col: str, text_col: str,
     short = (f"list_reduce(codes, "
              f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_MOD})")
     return f"""nrm AS (
-  SELECT {id_col} AS id, {normalize_sql(text_col)} AS _t FROM {doc_rel}),
+  SELECT {id_col} AS id, {normalize_sql(text_col)} AS _t FROM {doc_rel}
+  WHERE {text_col} IS NOT NULL),
 coded AS (
   SELECT id, _t, greatest(length(_t) - {k - 1}, 1) AS gcount,
          list_transform(generate_series(1, greatest(length(_t), 1)),
