@@ -125,7 +125,9 @@ def bm25_topk_sql(queries: list[tuple[int, list[str]]], k: int = BM25_TOPK,
                   doc_rel: str = "documents", id_col: str = "doc_id",
                   text_col: str = "text") -> str:
     norm = normalize_sql(text_col)
-    qvals = ", ".join(f"({qid}, '{t}')"
+    # single quotes in terms are SQL-escaped (they cannot match a token of
+    # the normalized text anyway, but a stray quote must not break the SQL)
+    qvals = ", ".join(f"""({qid}, '{t.replace("'", "''")}')"""
                       for qid, terms in queries for t in sorted(set(terms)))
     return f"""WITH q(query_id, term) AS (VALUES {qvals}),
 toks AS (
