@@ -41,9 +41,9 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.operators import langid, linkrank, salience, sketch
-from geoclimate_spark.operators import (bloom, bm25, bpetrain, kmeans,
-                                        lmquality, segdedup, sprawl, urlnorm,
-                                        vocab, winnow)
+from geoclimate_spark.operators import (bloom, bm25, bpetrain, hashvec,
+                                        kmeans, lmquality, segdedup, sprawl,
+                                        urlnorm, vocab, winnow)
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -321,6 +321,12 @@ def _q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rare term ('dup', df ~ 5%) so idf actually orders the results
 BM25_QUERIES = [(0, ["hash", "join"]), (1, ["dup", "scan"]),
                 (2, ["vector", "batch", "sort"]), (3, ["the", "dup"])]
+
+
+def _q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (signed hashing trick): fixed-dim sparse
+    text vectors with no vocabulary table — one groupBy(doc, bucket)."""
+    return hashvec.feature_hash_sparse(_docs(spark, sf_dir))
 
 
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has pytest coverage regardless of window position."""
     return {
         # -- block 0: NEW in round 4 (never driver-verified) --
+        "feature_hash_vectors": _q_feature_hash_vectors,  # hashing-trick vectorizer (r4)
         "bpe_train_merges": _q_bpe_train,               # BPE merge training (r4)
         "bm25_search": _q_bm25_search,                  # BM25 top-k retrieval (r4)
         "lm_quality_scores": _q_lm_quality,             # bigram-LM ppl filter (r4)
@@ -1704,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "feature_hash_vectors": hashvec.feature_hash_sparse_sql(),
         "bpe_train_merges": bpetrain.bpe_train_sql(),
         "bm25_search": bm25.bm25_topk_sql(BM25_QUERIES),
         "lm_quality_scores": lmquality.lm_quality_sql(),
