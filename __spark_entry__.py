@@ -329,6 +329,41 @@ def _q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashvec.feature_hash_sparse(_docs(spark, sf_dir))
 
 
+def _q_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end raw-text clustering IN-ENGINE: feature-hash vectorizer →
+    dense 64-dim vectors → the existing int64 fixed-point k-means train +
+    assign. Everything (featurization AND training) replays bit-exactly in
+    the oracle."""
+    sp = hashvec.feature_hash_sparse(_docs(spark, sf_dir))
+    dense = (sp.groupBy("doc_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("bucket", "weight"))).alias("m"))
+             .select(F.col("doc_id").alias("vec_id"),
+                     F.expr(f"transform(sequence(0, {hashvec.HV_DIM - 1}),"
+                            f" i -> CAST(coalesce(element_at("
+                            f"m, CAST(i AS BIGINT)), 0) AS DOUBLE))")
+                     .alias("embedding")))
+    return kmeans.kmeans_assignments(dense, id_col="vec_id",
+                                     vec="embedding")
+
+
+def _text_clusters_sql() -> str:
+    dim = hashvec.HV_DIM
+    km = kmeans.kmeans_assignments_sql(rel="hv_dense")
+    assert km.startswith("WITH ")
+    return f"""WITH hv AS ({hashvec.feature_hash_sparse_sql()}),
+hv_map AS (
+  SELECT doc_id AS vec_id, map(array_agg(bucket), array_agg(weight)) AS m
+  FROM hv GROUP BY doc_id),
+hv_dense AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, {dim - 1}),
+                        i -> CAST(coalesce(m[i][1], 0) AS DOUBLE))
+           AS embedding
+  FROM hv_map),
+{km[5:]}"""
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine BPE tokenizer training: 8 most-frequent-pair merges over
     the corpus vocabulary (one corpus shuffle; every round runs on the
@@ -1491,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- block 0: NEW in round 4 (never driver-verified) --
         "feature_hash_vectors": _q_feature_hash_vectors,  # hashing-trick vectorizer (r4)
+        "text_cluster_assignments": _q_text_clusters,   # text->vec->kmeans e2e (r4)
         "bpe_train_merges": _q_bpe_train,               # BPE merge training (r4)
         "bm25_search": _q_bm25_search,                  # BM25 top-k retrieval (r4)
         "lm_quality_scores": _q_lm_quality,             # bigram-LM ppl filter (r4)
@@ -1712,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # -- round 4 --
         "feature_hash_vectors": hashvec.feature_hash_sparse_sql(),
+        "text_cluster_assignments": _text_clusters_sql(),
         "bpe_train_merges": bpetrain.bpe_train_sql(),
         "bm25_search": bm25.bm25_topk_sql(BM25_QUERIES),
         "lm_quality_scores": lmquality.lm_quality_sql(),

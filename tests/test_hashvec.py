@@ -47,3 +47,22 @@ def test_hashing_trick_properties(rows):
     assert abs(w5) == 1
     # L1 norm per doc <= token count (collisions cancel, never inflate)
     assert sum(abs(w) for w in by_doc[1].values()) <= 4
+
+
+def test_text_cluster_composition(spark):
+    """text -> hashed vectors -> k-means: engine == oracle on the fixture,
+    and all k clusters are populated (non-degenerate seed)."""
+    import duckdb
+    import __spark_entry__ as E
+
+    got = sorted(tuple(r) for r in
+                 E.queries()["text_cluster_assignments"](
+                     spark, "/root/testdata/sf0.001").collect())
+    con = duckdb.connect()
+    con.execute("create view documents as select * from "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    want = sorted(map(tuple, con.execute(
+        E.oracle_sql()["text_cluster_assignments"]).fetchall()))
+    assert got == want
+    clusters = {c for _, c, _ in got}
+    assert len(clusters) >= 2

@@ -246,3 +246,15 @@ def test_bpe_train_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_hashvec_and_text_cluster_plans(spark):
+    """feature_hash_vectors is explode + one hash agg; the composed
+    text-cluster query inherits kmeans's constant-key broadcast assignment
+    — neither may plan a cartesian/BNLJ or touch Python."""
+    import __spark_entry__ as E
+    for name in ("feature_hash_vectors", "text_cluster_assignments"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Python" not in plan and "Pandas" not in plan, name
