@@ -61,6 +61,17 @@ def tokens_col(norm: Column) -> Column:
     return F.split(norm, " ")
 
 
+def bigrams_col(norm: str) -> Column:
+    """All character bigrams of COLUMN NAME ``norm`` (1-based positions,
+    overlapping) as an array. Guarded for < 2 chars — Spark's
+    ``sequence(1, 0)`` DESCENDS rather than returning empty. Lock-step dual:
+    :func:`bigrams_sql`."""
+    return F.expr(
+        f"CASE WHEN length({norm}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, length({norm}) - 1),"
+        f" i -> substring({norm}, i, 2)) END")
+
+
 def bpe_tokens_col(norm: Column) -> Column:
     """BPE-ish pretokens of the NORMALIZED text as an array — one
     ``regexp_extract_all`` inside the scan projection (codegen, no Python).
@@ -116,6 +127,15 @@ def text_metrics_cols(text: Column) -> dict[str, Column]:
 # ------------------------------------------------------------------ SQL path
 def normalize_sql(text_sql: str) -> str:
     return f"trim(regexp_replace(lower({text_sql}), '\\s+', ' ', 'g'))"
+
+
+def bigrams_sql(norm: str) -> str:
+    """DuckDB dual of :func:`bigrams_col` (list form). langid's oracle uses
+    an equivalent LATERAL row-generating formulation instead — both are
+    hash-gated against the same Spark column."""
+    return (f"CASE WHEN length({norm}) < 2 THEN [] "
+            f"ELSE list_transform(generate_series(1, length({norm}) - 1), "
+            f"i -> substr({norm}, i, 2)) END")
 
 
 def bpe_tokens_sql(norm_sql: str) -> str:

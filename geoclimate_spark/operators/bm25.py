@@ -69,6 +69,8 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
     ``queries``: literal (query_id, [terms...]) pairs — terms are matched
     against whitespace tokens of the normalized text. Repeated query terms
     count once (standard bag-of-words query with binary query-side tf)."""
+    if not queries:
+        raise ValueError("bm25_topk: queries must be non-empty")
     spark = docs.sparkSession
     qdf = F.broadcast(spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in sorted(set(terms))],
@@ -124,6 +126,8 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
 def bm25_topk_sql(queries: list[tuple[int, list[str]]], k: int = BM25_TOPK,
                   doc_rel: str = "documents", id_col: str = "doc_id",
                   text_col: str = "text") -> str:
+    if not queries:
+        raise ValueError("bm25_topk_sql: queries must be non-empty")
     norm = normalize_sql(text_col)
     # single quotes in terms are SQL-escaped (they cannot match a token of
     # the normalized text anyway, but a stray quote must not break the SQL)

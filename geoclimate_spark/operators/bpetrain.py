@@ -49,7 +49,7 @@ N_MERGES = 8
 REPLACE_PASSES = 12
 
 
-def _word_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
     """(w, n): sentinel-spaced character-symbol string per DISTINCT word,
     weighted by corpus frequency — the one corpus-wide shuffle."""
     norm = normalize_col(F.col(text_col))
@@ -75,12 +75,12 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 
 def bpe_train(docs: DataFrame, n_merges: int = N_MERGES,
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+              text_col: str = "text") -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (merge_round, left_sym, right_sym, pair_count, corpus_tokens) where
     corpus_tokens is the weighted symbol count AFTER applying that merge —
     the curve a tokenizer trainer reports."""
-    words = _word_counts(docs, id_col, text_col).localCheckpoint()
+    words = _word_counts(docs, text_col).localCheckpoint()
     stats = []
     for rnd in range(1, n_merges + 1):
         best = (_pair_counts(words)
@@ -118,7 +118,7 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES,
 
 # --------------------------------------------------------------- DuckDB dual
 def bpe_train_sql(n_merges: int = N_MERGES, doc_rel: str = "documents",
-                  id_col: str = "doc_id", text_col: str = "text") -> str:
+                  text_col: str = "text") -> str:
     norm = normalize_sql(text_col)
     ctes = [f"""w0 AS (
   SELECT ' ' || array_to_string(list_transform(

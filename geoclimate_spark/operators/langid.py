@@ -30,20 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import bigrams_col as _bigrams_col
 from ..functions.text import normalize_col, normalize_sql
 
 N_TOP = 40
 TRAIN_MOD = 3
-
-
-def _bigrams_col(norm: str):
-    """All character bigrams of column ``norm`` (1-based positions,
-    overlapping). Guarded for < 2 chars — Spark's ``sequence(1, 0)``
-    DESCENDS rather than returning empty."""
-    return F.expr(
-        f"CASE WHEN length({norm}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, length({norm}) - 1),"
-        f" i -> substring({norm}, i, 2)) END")
 
 
 def lang_profiles(docs: DataFrame, id_col: str = "doc_id",

@@ -46,8 +46,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_col, normalize_sql
-from .langid import _bigrams_col
+from ..functions.text import (bigrams_col as _bigrams_col,
+                              bigrams_sql as _bigrams_sql,
+                              normalize_col, normalize_sql)
 
 TRAIN_MOD = 3          # doc_id % TRAIN_MOD == 0 -> training slice
 SURP_SHIFT = 10        # surprisal scale 2^10
@@ -107,13 +108,18 @@ def lm_quality_scores(docs: DataFrame, id_col: str = "doc_id",
     # a BNLJ; a window over occ would be a one-partition scale-killer)
     oov = (lm.agg((F.max("bits") + F.lit(oov_margin)).cast("long")
                   .alias("_oov")))
+    # the join key must stay non-NULL when the training slice is EMPTY
+    # (max over zero rows is NULL): a NULL key would drop every document
+    # on the Spark side while the DuckDB dual's CROSS JOIN keeps them with
+    # NULL scores — coalesce keeps both engines at "NULL scores", parity
     occ = (docs.where(F.col(text_col).isNotNull())
            .select(F.col(id_col),
                    normalize_col(F.col(text_col)).alias("_norm"))
            .select(id_col, F.explode(_bigrams_col("_norm")).alias("bigram"))
            .withColumn("_one", F.pmod(F.crc32(F.col("bigram")), F.lit(1)))
            .join(F.broadcast(oov.withColumn(
-               "_one", F.pmod(F.col("_oov"), F.lit(1)))), "_one"))
+               "_one", F.pmod(F.coalesce(F.col("_oov"), F.lit(0)),
+                              F.lit(1)))), "_one"))
     scored = (occ.join(F.broadcast(lm), "bigram", "left")
               .groupBy(id_col)
               .agg(F.count("*").alias("n_bigrams"),
@@ -126,12 +132,6 @@ def lm_quality_scores(docs: DataFrame, id_col: str = "doc_id",
 
 
 # --------------------------------------------------------------- DuckDB dual
-def _bigrams_sql(norm: str) -> str:
-    return (f"CASE WHEN length({norm}) < 2 THEN [] "
-            f"ELSE list_transform(generate_series(1, length({norm}) - 1), "
-            f"i -> substr({norm}, i, 2)) END")
-
-
 def lm_quality_sql(doc_rel: str = "documents", id_col: str = "doc_id",
                    text_col: str = "text", train_mod: int = TRAIN_MOD,
                    oov_margin: int = OOV_MARGIN_BITS,

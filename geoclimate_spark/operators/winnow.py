@@ -100,6 +100,9 @@ def winnow_doc(txt: str, k: int = K_GRAM, w: int = WINNOW_W):
         codes = np.zeros(1, dtype=np.int64)  # ascii('') = 0
     n = len(txt)
     g = max(n - k + 1, 1)
+    if g >= _POS:  # position field would alias -> keys collide silently
+        raise ValueError(f"winnow_doc: {g} grams exceeds the 2^32-1 "
+                         f"packing bound")
     if n >= k:
         h = np.zeros(g, dtype=np.int64)
         for j in range(k):              # k vector Horner steps
