@@ -329,6 +329,56 @@ def _q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashvec.feature_hash_sparse(_docs(spark, sf_dir))
 
 
+def _q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the bucketed ANN variants measured IN-ENGINE against the
+    exact brute-force baseline — the accept/reject metric an ANN rollout
+    gates on, computed as one query: (variant, n_hits, recall) with
+    recall = hits / (n_queries · k). Brute-force top-k is computed once and
+    reused by every variant's semi-join."""
+    emb = _emb(spark, sf_dir)
+    brute = (similarity.cosine_topk(emb, ANN_QUERY_IDS, ANN_K)
+             .select("query_id", "vec_id").persist())
+    denom = float(len(ANN_QUERY_IDS) * ANN_K)
+    variants = {
+        "lsh": similarity.lsh_topk(emb, ANN_QUERY_IDS, ANN_K),
+        "lsh_multitable": similarity.lsh_topk_multitable(
+            emb, ANN_QUERY_IDS, ANN_K),
+        "ivf": similarity.ivf_topk(emb, ANN_QUERY_IDS, ANN_K),
+    }
+    out = None
+    for name, df in variants.items():
+        hits = (df.select("query_id", "vec_id")
+                .join(brute, ["query_id", "vec_id"], "left_semi")
+                .agg(F.count("*").alias("n_hits"))
+                .select(F.lit(name).alias("variant"),
+                        F.col("n_hits").cast("long"),
+                        (F.col("n_hits").cast("double")
+                         / F.lit(denom)).alias("recall")))
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+def _ann_recall_report_sql() -> str:
+    denom = float(len(ANN_QUERY_IDS) * ANN_K)
+    brute = similarity.cosine_topk_sql(ANN_QUERY_IDS, ANN_K)
+    parts = {
+        "lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
+        "lsh_multitable": similarity.lsh_topk_multitable_sql(
+            ANN_QUERY_IDS, ANN_K),
+        "ivf": similarity.ivf_topk_sql(ANN_QUERY_IDS, ANN_K),
+    }
+    selects = []
+    for name in parts:
+        selects.append(
+            f"SELECT '{name}' AS variant, CAST(COUNT(*) AS BIGINT) AS n_hits,"
+            f" CAST(COUNT(*) AS DOUBLE) / {denom} AS recall"
+            f" FROM v_{name} v WHERE EXISTS (SELECT 1 FROM brute b"
+            f" WHERE b.query_id = v.query_id AND b.vec_id = v.vec_id)")
+    ctes = [f"brute AS ({brute})"] + [
+        f"v_{name} AS ({sql})" for name, sql in parts.items()]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _q_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end raw-text clustering IN-ENGINE: feature-hash vectorizer →
     dense 64-dim vectors → the existing int64 fixed-point k-means train +
@@ -1527,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 0: NEW in round 4 (never driver-verified) --
         "feature_hash_vectors": _q_feature_hash_vectors,  # hashing-trick vectorizer (r4)
         "text_cluster_assignments": _q_text_clusters,   # text->vec->kmeans e2e (r4)
+        "ann_recall_report": _q_ann_recall_report,      # in-engine recall metric (r4)
         "bpe_train_merges": _q_bpe_train,               # BPE merge training (r4)
         "bm25_search": _q_bm25_search,                  # BM25 top-k retrieval (r4)
         "lm_quality_scores": _q_lm_quality,             # bigram-LM ppl filter (r4)
@@ -1749,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         # -- round 4 --
         "feature_hash_vectors": hashvec.feature_hash_sparse_sql(),
         "text_cluster_assignments": _text_clusters_sql(),
+        "ann_recall_report": _ann_recall_report_sql(),
         "bpe_train_merges": bpetrain.bpe_train_sql(),
         "bm25_search": bm25.bm25_topk_sql(BM25_QUERIES),
         "lm_quality_scores": lmquality.lm_quality_sql(),

@@ -66,3 +66,22 @@ def test_text_cluster_composition(spark):
     assert got == want
     clusters = {c for _, c, _ in got}
     assert len(clusters) >= 2
+
+
+def test_ann_recall_report(spark):
+    """Recall report: engine == oracle, multitable LSH strictly dominates
+    single-probe LSH (more independent tables can only add true hits)."""
+    import duckdb
+    import __spark_entry__ as E
+
+    got = {r["variant"]: (r["n_hits"], r["recall"]) for r in
+           E.queries()["ann_recall_report"](
+               spark, "/root/testdata/sf0.01").collect()}
+    con = duckdb.connect()
+    con.execute("create view embeddings as select * from "
+                "read_parquet('/root/testdata/sf0.01/embeddings.parquet')")
+    want = {v: (h, r) for v, h, r in con.execute(
+        E.oracle_sql()["ann_recall_report"]).fetchall()}
+    assert got == want
+    assert got["lsh_multitable"][1] >= got["lsh"][1]
+    assert all(0.0 <= r <= 1.0 for _, r in got.values())
