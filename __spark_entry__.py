@@ -41,9 +41,9 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.operators import langid, linkrank, salience, sketch
-from geoclimate_spark.operators import (bloom, bm25, bpetrain, hashvec,
-                                        kmeans, lmquality, segdedup, sprawl,
-                                        urlnorm, vocab, winnow)
+from geoclimate_spark.operators import (bloom, bm25, bpetrain, dupspan,
+                                        hashvec, kmeans, lmquality, segdedup,
+                                        sprawl, urlnorm, vocab, winnow)
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -148,6 +148,13 @@ def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level (k-token segment) corpus dedup — first occurrence
     wins globally, documents reassembled from surviving segments."""
     return segdedup.segment_dedup(_docs(spark, sf_dir))
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span coverage + trim: every overlapping
+    8-token window repeated anywhere in the corpus marks its positions;
+    per-doc interval-union coverage fraction and the span-trimmed text."""
+    return dupspan.duplicate_spans(_docs(spark, sf_dir))
 
 
 def _q_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1605,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,  # canonical URL (r4)
         "tile_indicator_table": _q_tile_indicator_table,  # grid rasterize (r4)
         "segment_dedup": _q_segment_dedup,           # paragraph dedup (r4)
+        "duplicate_spans": _q_duplicate_spans,       # ExactSubstr trim (r4)
         "bloom_blocklist_curation": _q_bloom_blocklist,  # bloom anti-join (r4)
         "sprawl_components": _q_sprawl_components,   # dense-tile CC (r4)
         "lang_id_confusion": _q_lang_confusion,      # n-gram lang-ID (r4)
@@ -1825,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
             + " AS fetch_epoch FROM documents"),
         "tile_indicator_table": _tile_indicator_table_sql(),
         "segment_dedup": segdedup.segment_dedup_sql(),
+        "duplicate_spans": dupspan.duplicate_spans_sql(),
         "bloom_blocklist_curation": bloom.bloom_blocklist_filter_sql(
             BLOOM_BAN_MOD),
         "sprawl_components": sprawl.sprawl_components_sql(

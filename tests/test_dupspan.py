@@ -1,0 +1,52 @@
+"""Hand-case semantics for ExactSubstr-style duplicate-span coverage/trim
+(oracle parity lives in test_entry / the driver gate)."""
+
+from __future__ import annotations
+
+from geoclimate_spark.operators import dupspan
+
+
+def _rows(spark, rows, n=3):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dupspan.duplicate_spans(docs, n=n)
+    assert out.columns == ["doc_id", "n_tokens", "n_windows", "n_dup_windows",
+                           "dup_tokens", "dup_fraction", "trimmed_text"]
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_cross_doc_span_marks_both_sides(spark):
+    got = _rows(spark, [(1, "a b c d e"), (2, "x a b c y")], n=3)
+    assert got[1].n_windows == 3 and got[1].n_dup_windows == 1
+    assert got[1].dup_tokens == 3 and got[1].dup_fraction == 3 / 5
+    assert got[1].trimmed_text == "d e"
+    assert got[2].n_dup_windows == 1 and got[2].dup_tokens == 3
+    assert got[2].trimmed_text == "x y"
+
+
+def test_within_doc_repeat_interval_union(spark):
+    # n=3 windows: abc bcd cda dab abc bcd -> abc/bcd repeat; their four
+    # occurrences cover positions 0-2,1-3,4-6,5-7 = ALL 8 tokens, yet only
+    # 4 of 6 windows are duplicated (interval UNION, not window count * n)
+    got = _rows(spark, [(7, "a b c d a b c d")], n=3)
+    assert got[7].n_windows == 6 and got[7].n_dup_windows == 4
+    assert got[7].dup_tokens == 8 and got[7].dup_fraction == 1.0
+    assert got[7].trimmed_text == ""
+
+
+def test_short_and_unique_docs_pass_through(spark):
+    got = _rows(spark, [(1, "a b"), (2, "p q r s t")], n=3)
+    assert got[1].n_windows == 0 and got[1].dup_tokens == 0
+    assert got[1].trimmed_text == "a b"           # too short to window
+    assert got[2].n_dup_windows == 0
+    assert got[2].trimmed_text == "p q r s t"     # unique prose untouched
+    assert set(got) == {1, 2}                     # no silent row loss
+
+
+def test_normalization_and_empty_doc(spark):
+    # mixed case/whitespace normalizes BEFORE windowing; '' tokenizes to
+    # [''] on both engines so n_tokens >= 1 and the fraction is total
+    got = _rows(spark, [(1, "  A  b C d  "), (2, "a b c d"), (3, "")], n=3)
+    assert got[1].dup_tokens == 4 and got[1].trimmed_text == ""
+    assert got[2].dup_tokens == 4 and got[2].trimmed_text == ""
+    assert got[3].n_tokens == 1 and got[3].dup_fraction == 0.0
+    assert got[3].trimmed_text == ""

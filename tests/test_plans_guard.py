@@ -161,7 +161,8 @@ def test_round4_late_curation_plans(spark):
     import __spark_entry__ as E
     # (zonal_quantiles_chars is excluded: it consumes the PIP-joined base
     # whose boundary refine is deliberately ArrowEvalPython)
-    for name in ("segment_dedup", "bloom_blocklist_curation",
+    for name in ("segment_dedup", "duplicate_spans",
+                 "bloom_blocklist_curation",
                  "sprawl_components", "url_canonical_dedup",
                  "tile_indicator_table", "vocab_coverage",
                  "topk_docs_per_lang"):
