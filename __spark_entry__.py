@@ -157,6 +157,13 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dupspan.duplicate_spans(_docs(spark, sf_dir))
 
 
+def _q_decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by span removal: training docs with every
+    token covered by a benchmark-colliding 5-gram window removed; broadcast
+    benchmark gram-hash set, interval-union coverage, clean text out."""
+    return dupspan.decontaminate_trim(_docs(spark, sf_dir))
+
+
 def _q_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered fingerprint-blocklist anti-join; the bloom is a
     physical prefilter with zero semantic effect, so the DuckDB oracle is
@@ -1613,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_indicator_table": _q_tile_indicator_table,  # grid rasterize (r4)
         "segment_dedup": _q_segment_dedup,           # paragraph dedup (r4)
         "duplicate_spans": _q_duplicate_spans,       # ExactSubstr trim (r4)
+        "decontaminate_trim": _q_decontaminate_trim,  # span-removal decontam (r4)
         "bloom_blocklist_curation": _q_bloom_blocklist,  # bloom anti-join (r4)
         "sprawl_components": _q_sprawl_components,   # dense-tile CC (r4)
         "lang_id_confusion": _q_lang_confusion,      # n-gram lang-ID (r4)
@@ -1834,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_indicator_table": _tile_indicator_table_sql(),
         "segment_dedup": segdedup.segment_dedup_sql(),
         "duplicate_spans": dupspan.duplicate_spans_sql(),
+        "decontaminate_trim": dupspan.decontaminate_trim_sql(),
         "bloom_blocklist_curation": bloom.bloom_blocklist_filter_sql(
             BLOOM_BAN_MOD),
         "sprawl_components": sprawl.sprawl_components_sql(

@@ -35,6 +35,13 @@ Scale design (10^12 docs):
   — both sides hash-partition on the doc id, and the reassembly groupBy
   reuses that partitioning (one effective shuffle of the token stream).
 
+:func:`decontaminate_trim` reuses the same window/coverage/trim machinery
+against a BENCHMARK n-gram set instead of the corpus itself (the surgical
+variant of :mod:`contamination` — remove the colliding spans, keep the
+document): the benchmark side is tiny by construction, so its id filter and
+gram-hash set broadcast and the training window stream is filtered map-side
+with no shuffle of window text.
+
 Empty documents normalize to '' whose token list is [''] on BOTH engines
 (Spark split / DuckDB string_split), so n_tokens >= 1 always and the
 dup_fraction division is total.
@@ -42,12 +49,14 @@ dup_fraction division is total.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60_col, hash60_sql
 from ..functions.text import normalize_col, normalize_sql
 
 SPAN_TOKENS = 8  # window width n: a span must repeat exactly at this length
+CONTAM_TOKENS = 5  # decontamination window width (matches contamination.py)
 
 
 def _base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -68,6 +77,44 @@ def _windows(base: DataFrame, n: int) -> DataFrame:
             .select("id", F.posexplode(grams).alias("pos", "gram")))
 
 
+def _coverage_trim(base: DataFrame, marked: DataFrame, n: int, id_col: str,
+                   win_name: str, tok_name: str, frac_name: str,
+                   text_name: str) -> DataFrame:
+    """Shared tail: given ``base`` (id, _tk, n_tokens) and ``marked``
+    (id, pos) windows, compute the interval-union coverage counts/fraction
+    and the text with covered tokens removed. One doc-keyed anti-join +
+    reassembly groupBy; the coverage distinct and both counts are map-side
+    combinable."""
+    cov = (marked.select(
+        "id", F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("p"))
+        .distinct())
+    covs = cov.groupBy("id").agg(F.count("*").alias("_ct"))
+    nmw = marked.groupBy("id").agg(F.count("*").alias("_nw"))
+    tokpos = base.select("id", F.posexplode("_tk").alias("p", "tok"))
+    keep = tokpos.join(cov, ["id", "p"], "left_anti")
+    trimmed = keep.groupBy("id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                        lambda x: x["tok"]),
+            " ").alias("_tt"))
+    nt = F.col("n_tokens")
+    return (base.select("id", "n_tokens")
+            .join(nmw, "id", "left").join(covs, "id", "left")
+            .join(trimmed, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                nt.cast("long").alias("n_tokens"),
+                F.greatest(nt - F.lit(n - 1), F.lit(0))
+                .cast("long").alias("n_windows"),
+                F.coalesce(F.col("_nw"), F.lit(0))
+                .cast("long").alias(win_name),
+                F.coalesce(F.col("_ct"), F.lit(0))
+                .cast("long").alias(tok_name),
+                (F.coalesce(F.col("_ct"), F.lit(0)).cast("double")
+                 / nt.cast("double")).alias(frac_name),
+                F.coalesce(F.col("_tt"), F.lit("")).alias(text_name)))
+
+
 def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     n: int = SPAN_TOKENS) -> DataFrame:
@@ -84,72 +131,124 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     dup = (wins.groupBy("gram").agg(F.count("*").alias("_c"))
            .where(F.col("_c") >= 2).select("gram"))
     dwin = wins.join(dup, "gram").select("id", "pos")
-    cov = (dwin.select(
-        "id", F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("p"))
-        .distinct())
-    covs = cov.groupBy("id").agg(F.count("*").alias("dup_tokens"))
-    ndw = dwin.groupBy("id").agg(F.count("*").alias("n_dup_windows"))
-    tokpos = base.select("id", F.posexplode("_tk").alias("p", "tok"))
-    keep = tokpos.join(cov, ["id", "p"], "left_anti")
-    trimmed = keep.groupBy("id").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                        lambda x: x["tok"]),
-            " ").alias("trimmed_text"))
-    nt = F.col("n_tokens")
-    return (base.select("id", "n_tokens")
-            .join(ndw, "id", "left").join(covs, "id", "left")
-            .join(trimmed, "id", "left")
-            .select(
-                F.col("id").alias(id_col),
-                nt.cast("long").alias("n_tokens"),
-                F.greatest(nt - F.lit(n - 1), F.lit(0))
-                .cast("long").alias("n_windows"),
-                F.coalesce(F.col("n_dup_windows"), F.lit(0))
-                .cast("long").alias("n_dup_windows"),
-                F.coalesce(F.col("dup_tokens"), F.lit(0))
-                .cast("long").alias("dup_tokens"),
-                (F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
-                 / nt.cast("double")).alias("dup_fraction"),
-                F.coalesce(F.col("trimmed_text"), F.lit(""))
-                .alias("trimmed_text")))
+    return _coverage_trim(base, dwin, n, id_col, "n_dup_windows",
+                          "dup_tokens", "dup_fraction", "trimmed_text")
 
 
-def duplicate_spans_sql(doc_rel: str = "documents", id_col: str = "doc_id",
-                        text_col: str = "text", n: int = SPAN_TOKENS) -> str:
-    """DuckDB dual of :func:`duplicate_spans`. List slicing tk[a:b] is
-    1-based inclusive (never clamps here — windows stop n short of the tail),
-    generate_series is inclusive like Spark's sequence, and the dup_fraction
-    is the same exact integer-over-integer double on both sides."""
+def decontaminate_trim(docs: DataFrame, bench_quota: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = CONTAM_TOKENS) -> DataFrame:
+    """(doc_id, n_tokens, n_windows, n_hit_windows, contam_tokens,
+    contam_fraction, clean_text): benchmark decontamination by span REMOVAL
+    rather than document dropping — the surgical variant of
+    :func:`contamination.contamination_hits` (GPT-3 appendix C removes a
+    window around each collision; this removes exactly the covered tokens).
+
+    Benchmark = the ``bench_quota`` lowest-(hash60(id), id) documents (same
+    deterministic carve as contamination.py); output rows are the TRAINING
+    documents only, each with the interval-union coverage of windows whose
+    exact n-token text occurs in the benchmark set, and the text with those
+    tokens removed.
+
+    Scale: the benchmark n-gram side is tiny → both its id filter and its
+    gram-hash set are BROADCAST; the training window stream is filtered
+    map-side (no shuffle of window text — windows travel as hash60, 8
+    bytes), and only hit windows enter the coverage union. The trim tail is
+    shared with :func:`duplicate_spans`.
+    """
+    base = _base(docs, id_col, text_col)
+    wins = _windows(base, n)
+    rank_w = Window.orderBy(hash60_col(F.col("id").cast("string")), "id")
+    bench_ids = (base.select("id").withColumn("_r", F.row_number().over(rank_w))
+                 .where(F.col("_r") <= bench_quota).select("id"))
+    wh = wins.select("id", "pos", hash60_col(F.col("gram")).alias("gh"))
+    bench_g = (wh.join(F.broadcast(bench_ids), "id", "left_semi")
+               .select("gh").distinct())
+    train_base = base.join(F.broadcast(bench_ids), "id", "left_anti")
+    hit = (wh.join(F.broadcast(bench_ids), "id", "left_anti")
+           .join(F.broadcast(bench_g), "gh", "left_semi")
+           .select("id", "pos"))
+    return _coverage_trim(train_base, hit, n, id_col, "n_hit_windows",
+                          "contam_tokens", "contam_fraction", "clean_text")
+
+
+def _base_wins_ctes_sql(doc_rel: str, id_col: str, text_col: str,
+                        n: int) -> str:
+    """Shared CTE prefix: base (id, tk, n_tokens) + wins (id, pos, gram).
+    List slicing tk[a:b] is 1-based inclusive (never clamps here — windows
+    stop n short of the tail); generate_series is inclusive like Spark's
+    sequence."""
     norm = normalize_sql(text_col)
-    return f"""
-WITH base AS (SELECT {id_col} AS id, string_split({norm}, ' ') AS tk,
+    return f"""base AS (SELECT {id_col} AS id, string_split({norm}, ' ') AS tk,
                      len(string_split({norm}, ' ')) AS n_tokens
               FROM {doc_rel}),
 wins AS (SELECT id, i AS pos, array_to_string(tk[i + 1 : i + {n}], ' ') AS gram
          FROM base, UNNEST(generate_series(0, n_tokens - {n})) AS g(i)
-         WHERE n_tokens >= {n}),
-dup AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= 2),
-dwin AS (SELECT id, pos FROM wins JOIN dup USING (gram)),
-cov AS (SELECT DISTINCT id, p
-        FROM dwin, UNNEST(generate_series(pos, pos + {n - 1})) AS c(p)),
-covs AS (SELECT id, COUNT(*) AS dup_tokens FROM cov GROUP BY id),
-ndw AS (SELECT id, COUNT(*) AS n_dup_windows FROM dwin GROUP BY id),
+         WHERE n_tokens >= {n})"""
+
+
+def _trim_tail_sql(n: int, id_col: str, base_rel: str, marked_rel: str,
+                   win_name: str, tok_name: str, frac_name: str,
+                   text_name: str) -> str:
+    """Shared CTE suffix + final SELECT over ``base_rel`` (id, tk, n_tokens)
+    and ``marked_rel`` (id, pos). The fraction is the same exact
+    integer-over-integer double on both engines."""
+    return f"""cov AS (SELECT DISTINCT id, p
+        FROM {marked_rel}, UNNEST(generate_series(pos, pos + {n - 1})) AS c(p)),
+covs AS (SELECT id, COUNT(*) AS ct FROM cov GROUP BY id),
+nmw AS (SELECT id, COUNT(*) AS nw FROM {marked_rel} GROUP BY id),
 tokpos AS (SELECT id, i - 1 AS p, tk[i] AS tok
-           FROM base, UNNEST(generate_series(1, n_tokens)) AS t(i)),
+           FROM {base_rel}, UNNEST(generate_series(1, n_tokens)) AS t(i)),
 keep AS (SELECT tp.id, tp.p, tp.tok FROM tokpos tp
          ANTI JOIN cov ON tp.id = cov.id AND tp.p = cov.p),
-trimmed AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS trimmed_text
+trimmed AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS tt
             FROM keep GROUP BY id)
 SELECT b.id AS {id_col},
        CAST(b.n_tokens AS BIGINT) AS n_tokens,
        CAST(GREATEST(b.n_tokens - {n - 1}, 0) AS BIGINT) AS n_windows,
-       CAST(COALESCE(ndw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
-       CAST(COALESCE(covs.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-       CAST(COALESCE(covs.dup_tokens, 0) AS DOUBLE)
-           / CAST(b.n_tokens AS DOUBLE) AS dup_fraction,
-       COALESCE(trimmed.trimmed_text, '') AS trimmed_text
-FROM base b
-LEFT JOIN ndw USING (id)
+       CAST(COALESCE(nmw.nw, 0) AS BIGINT) AS {win_name},
+       CAST(COALESCE(covs.ct, 0) AS BIGINT) AS {tok_name},
+       CAST(COALESCE(covs.ct, 0) AS DOUBLE)
+           / CAST(b.n_tokens AS DOUBLE) AS {frac_name},
+       COALESCE(trimmed.tt, '') AS {text_name}
+FROM {base_rel} b
+LEFT JOIN nmw USING (id)
 LEFT JOIN covs USING (id)
 LEFT JOIN trimmed USING (id)"""
+
+
+def duplicate_spans_sql(doc_rel: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text", n: int = SPAN_TOKENS) -> str:
+    """DuckDB dual of :func:`duplicate_spans`."""
+    return f"""
+WITH {_base_wins_ctes_sql(doc_rel, id_col, text_col, n)},
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= 2),
+dwin AS (SELECT id, pos FROM wins JOIN dup USING (gram)),
+{_trim_tail_sql(n, id_col, "base", "dwin", "n_dup_windows",
+                "dup_tokens", "dup_fraction", "trimmed_text")}"""
+
+
+def decontaminate_trim_sql(doc_rel: str = "documents",
+                           bench_quota: int = 10, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n: int = CONTAM_TOKENS) -> str:
+    """DuckDB dual of :func:`decontaminate_trim` — the benchmark carve and
+    the gram hash are the same hash60 expressions as contamination.py, so
+    engine and oracle agree bit-for-bit even in the collision case."""
+    h_id = hash60_sql("CAST(id AS VARCHAR)")
+    h_g = hash60_sql("gram")
+    return f"""
+WITH {_base_wins_ctes_sql(doc_rel, id_col, text_col, n)},
+ranked AS (SELECT id, ROW_NUMBER() OVER (ORDER BY {h_id}, id) AS r
+           FROM base),
+bench_ids AS (SELECT id FROM ranked WHERE r <= {bench_quota}),
+wh AS (SELECT id, pos, {h_g} AS gh FROM wins),
+bench_g AS (SELECT DISTINCT gh FROM wh
+            WHERE id IN (SELECT id FROM bench_ids)),
+train_base AS (SELECT * FROM base
+               WHERE id NOT IN (SELECT id FROM bench_ids)),
+hit AS (SELECT id, pos FROM wh
+        WHERE id NOT IN (SELECT id FROM bench_ids)
+          AND gh IN (SELECT gh FROM bench_g)),
+{_trim_tail_sql(n, id_col, "train_base", "hit", "n_hit_windows",
+                "contam_tokens", "contam_fraction", "clean_text")}"""

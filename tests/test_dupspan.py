@@ -42,6 +42,37 @@ def test_short_and_unique_docs_pass_through(spark):
     assert set(got) == {1, 2}                     # no silent row loss
 
 
+def _h60(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_decontaminate_trim_removes_benchmark_spans(spark):
+    # benchmark = lowest (hash60(str(id)), id); build the corpus AROUND the
+    # carve so the test is deterministic whichever id wins
+    ids = [1, 2, 3]
+    bench = min(ids, key=lambda i: (_h60(str(i)), i))
+    victim, clean = [i for i in ids if i != bench]
+    texts = {bench: "alpha beta gamma delta eps zeta",
+             victim: "x y alpha beta gamma delta eps q r",
+             clean: "p q r s t u"}
+    docs = spark.createDataFrame([(i, texts[i]) for i in ids],
+                                 "doc_id long, text string")
+    out = dupspan.decontaminate_trim(docs, bench_quota=1, n=5)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {victim, clean}  # benchmark rows are excluded
+    # victim: exactly one 5-gram window collides (pos 2: 'alpha beta gamma
+    # delta eps'); coverage = positions 2-6 of 9 tokens
+    v = got[victim]
+    assert v.n_hit_windows == 1 and v.contam_tokens == 5
+    assert v.contam_fraction == 5 / 9
+    assert v.clean_text == "x y q r"
+    # clean doc shares tokens (q, r) but no 5-gram: untouched passthrough
+    c = got[clean]
+    assert c.n_hit_windows == 0 and c.contam_tokens == 0
+    assert c.clean_text == "p q r s t u"
+
+
 def test_normalization_and_empty_doc(spark):
     # mixed case/whitespace normalizes BEFORE windowing; '' tokenizes to
     # [''] on both engines so n_tokens >= 1 and the fraction is total

@@ -161,7 +161,7 @@ def test_round4_late_curation_plans(spark):
     import __spark_entry__ as E
     # (zonal_quantiles_chars is excluded: it consumes the PIP-joined base
     # whose boundary refine is deliberately ArrowEvalPython)
-    for name in ("segment_dedup", "duplicate_spans",
+    for name in ("segment_dedup", "duplicate_spans", "decontaminate_trim",
                  "bloom_blocklist_curation",
                  "sprawl_components", "url_canonical_dedup",
                  "tile_indicator_table", "vocab_coverage",
@@ -174,6 +174,10 @@ def test_round4_late_curation_plans(spark):
         assert "ArrowEvalPython" not in plan, name
     bloom_plan = _plan(E.queries()["bloom_blocklist_curation"](spark, SF))
     assert "BroadcastHashJoin" in bloom_plan
+    # decontamination: the benchmark id/gram sets must broadcast — the
+    # training window stream is filtered map-side, never shuffled wide
+    decon_plan = _plan(E.queries()["decontaminate_trim"](spark, SF))
+    assert "BroadcastHashJoin" in decon_plan
     # k-means: vectors × k centroids must ride the constant-key BROADCAST
     # hash join, never a BroadcastNestedLoopJoin / cartesian
     for name in ("kmeans_clusters", "ann_topk_ivf_trained"):
