@@ -41,9 +41,11 @@ from geoclimate_spark.operators import (asof, classify, components,
                                         windows, zonal)
 from geoclimate_spark.operators import population as pop_op
 from geoclimate_spark.operators import langid, linkrank, salience, sketch
-from geoclimate_spark.operators import (bloom, bm25, bpetrain, dupspan,
-                                        hashvec, kmeans, lmquality, segdedup,
-                                        sprawl, urlnorm, vocab, winnow)
+from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
+                                        dupspan, hashvec, kmeans, lmquality,
+                                        mixture, segdedup, sprawl, urlnorm,
+                                        vocab, winnow)
+from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -433,6 +435,43 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus vocabulary (one corpus shuffle; every round runs on the
     distinct-word frame). Output = the merge table + compression curve."""
     return bpetrain.bpe_train(_docs(spark, sf_dir))
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode every document under the frozen merge table
+    (bpeencode.MERGES) and count symbols — per-doc token budgets. Pure
+    codegen string work, shuffle-free; the word-boundary double-space trick
+    keeps merges word-local without an explode."""
+    return bpeencode.bpe_encode_stats(_docs(spark, sf_dir))
+
+
+def _q_token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner: tokens available per lang (under the frozen
+    tokenizer) vs basis-point target shares of a fixed token budget →
+    epochs/oversampling per slice. One partial-agg shuffle on lang."""
+    return mixture.mixture_plan(spark, _docs(spark, sf_dir))
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style incremental diff between two snapshot times of an
+    append-only crawl log (added/updated/unchanged per canonical URL). One
+    hash agg on canon_url; the (epoch, crawl_id) winner rides a single
+    int64 MAX key, so partial aggregation stays exact."""
+    frags = snapshot_op.crawl_history_fixture_sql("doc_id")
+    crawls = (_docs(spark, sf_dir)
+              .where(F.expr(frags["keep_pred"]))
+              .select(F.col("doc_id").alias("crawl_id"),
+                      F.expr(frags["raw_url"]).alias("raw_url"),
+                      F.expr(frags["fetch_epoch"]).alias("fetch_epoch")))
+    return snapshot_op.snapshot_diff(crawls)
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment (|A∩B| / min set) over the inverted shingle index
+    — the quote-inclusion detector Jaccard misses (a short doc embedded in
+    a long one unions away). Same max_df stop-shingle scale bound as the
+    Jaccard path."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), max_df=NGRAM_MAX_DF)
 
 
 def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1589,6 +1628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has pytest coverage regardless of window position."""
     return {
         # -- block 0: NEW in round 4 (never driver-verified) --
+        "bpe_encode_tokens": _q_bpe_encode,             # tokenizer apply (r4)
+        "token_mixture_plan": _q_token_mixture_plan,    # mixture planner (r4)
+        "snapshot_diff": _q_snapshot_diff,              # Iceberg-style diff (r4)
+        "dedup_containment": _q_dedup_containment,      # quote inclusion (r4)
         "feature_hash_vectors": _q_feature_hash_vectors,  # hashing-trick vectorizer (r4)
         "text_cluster_assignments": _q_text_clusters,   # text->vec->kmeans e2e (r4)
         "ann_recall_report": _q_ann_recall_report,      # in-engine recall metric (r4)
@@ -1808,12 +1851,25 @@ def _tile_indicator_table_sql() -> str:
         ("lod", lod, "tile_id")])
 
 
+def _crawl_history_sql() -> str:
+    """Crawl-log fixture for snapshot_diff — the exact SQL dual of the
+    engine-side frame built in _q_snapshot_diff (same fragments)."""
+    frags = snapshot_op.crawl_history_fixture_sql("doc_id")
+    return ("SELECT doc_id AS crawl_id, " + frags["raw_url"]
+            + " AS raw_url, " + frags["fetch_epoch"]
+            + " AS fetch_epoch FROM documents WHERE " + frags["keep_pred"])
+
+
 def oracle_sql() -> dict[str, str]:
     zone = layers.zone_case_sql("lon_e6", "lat_e6")
     tile = tile_op.tile_sql("lon_e6", "lat_e6", TILE_RES)
     cell = grid.cell_sql("lon_e6", "lat_e6", CELL_RES)
     return {
         # -- round 4 --
+        "bpe_encode_tokens": bpeencode.bpe_encode_sql(),
+        "token_mixture_plan": mixture.mixture_plan_sql(),
+        "snapshot_diff": snapshot_op.snapshot_diff_sql(_crawl_history_sql()),
+        "dedup_containment": dedup.containment_sql(max_df=NGRAM_MAX_DF),
         "feature_hash_vectors": hashvec.feature_hash_sparse_sql(),
         "text_cluster_assignments": _text_clusters_sql(),
         "ann_recall_report": _ann_recall_report_sql(),

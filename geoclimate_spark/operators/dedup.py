@@ -139,6 +139,68 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
             .select("id_a", "id_b", "jaccard"))
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = K_SHINGLE, max_df: int | None = None,
+                      min_common: int = 5) -> DataFrame:
+    """Shingle CONTAINMENT pairs: (id_a, id_b, n_common, contained_id,
+    containment) with id_a < id_b and containment >= threshold, where
+    containment = |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) (Broder's containment
+    score, the quote-inclusion detector: a short doc embedded verbatim in a
+    long one scores ~1.0 here but low on Jaccard because the union is
+    dominated by the long doc). ``contained_id`` is the smaller-set side
+    (ties → lower id). Same inverted-index shape as
+    :func:`ngram_jaccard_pairs` — the `max_df` stop-shingle cap bounds the
+    candidate blowup identically, so the 100-TB story is shared."""
+    raw = shingle_df(docs, id_col, text_col, k).persist()
+    sh = _df_capped(raw, max_df).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").cast("long").alias("n_common")))
+    cont = (F.col("n_common").cast("double")
+            / F.least("na", "nb").cast("double"))
+    contained = (F.when(F.col("na") < F.col("nb"), F.col("id_a"))
+                 .when(F.col("nb") < F.col("na"), F.col("id_b"))
+                 .otherwise(F.least("id_a", "id_b")))
+    return (inter
+            .join(sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
+            .withColumn("containment", cont)
+            .where((F.col("containment") >= F.lit(threshold))
+                   & (F.col("n_common") >= F.lit(int(min_common))))
+            .select("id_a", "id_b", "n_common",
+                    contained.cast("long").alias("contained_id"),
+                    "containment"))
+
+
+def containment_sql(threshold: float = 0.8, doc_rel: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k: int = K_SHINGLE, max_df: int | None = None,
+                    min_common: int = 5) -> str:
+    if max_df is None:
+        cap = "sh2 AS (SELECT * FROM sh)"
+    else:
+        cap = (f"hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {max_df}),\n"
+               f"sh2 AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot))")
+    return f"""WITH {shingle_cte_sql(doc_rel, id_col, text_col, k)},
+{cap},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, i.n_common,
+       CAST(CASE WHEN sa.n < sb.n THEN i.id_a
+                 WHEN sb.n < sa.n THEN i.id_b
+                 ELSE least(i.id_a, i.id_b) END AS BIGINT) AS contained_id,
+       CAST(i.n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+         AS containment
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+      >= {threshold} AND i.n_common >= {int(min_common)}"""
+
+
 def _with_signature_cols(arr: DataFrame, n_hashes: int) -> DataFrame:
     """Add mh0..mh{P-1} minhash columns to an (id, sha) frame — per-row array
     expressions (one md5 per shingle, P cheap affine mixes), NO shuffle."""

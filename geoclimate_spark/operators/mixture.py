@@ -1,0 +1,102 @@
+"""Training-data mixture planner — token budgeting per corpus slice.
+
+A training run fixes a TOTAL token budget and a target share per slice
+(language here; domain/source in general — Gopher Table A1, LLaMA Table 1,
+Dolma §4 all publish exactly this table). Planning the mixture from a
+corpus is one aggregation: tokens available per slice (from the frozen
+tokenizer of :mod:`.bpeencode`), target tokens per slice, and the epoch
+count (how many times the slice must repeat to fill its share — >1 means
+oversampling, the number those papers report as "epochs").
+
+geoclimate analogue: ``typeProportion`` (GenericIndicators.groovy:339-398)
+— shares of a whole per class — composed with the apply-a-frozen-artifact
+serving stance of the RF path; the novelty is only WHAT is shared (tokens
+under a tokenizer, not m² under a zone).
+
+Exactness: everything is int64. Target tokens use basis points
+(``share_bp * budget // 10000`` — floor division, both engines' integer
+``/``-analogue is ``DIV``/``//`` so the SQL dual uses explicit
+``CAST(... AS BIGINT)`` over ``//``); epochs are ceiling division
+``(target + avail - 1) // avail``. No floats anywhere.
+
+Scale shape: the per-doc encode is shuffle-free (bpeencode module doc);
+the rollup is ONE partial-agg shuffle on ``lang`` (5 groups); the share
+table is a literal broadcast. At 10^12 docs this is a single map-reduce
+pass — the cheapest shape there is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bpeencode import bpe_encode_sql, bpe_encode_stats
+
+# Frozen mixture targets in basis points (sum = 10000) and the run's token
+# budget. A real pipeline would load these from the training config.
+TARGET_SHARES_BP: list[tuple[str, int]] = [
+    ("en", 4000), ("zh", 2000), ("de", 2000), ("es", 1000), ("fr", 1000),
+]
+TOKEN_BUDGET = 1_000_000
+
+
+def mixture_plan(spark: SparkSession, docs: DataFrame,
+                 shares_bp: list[tuple[str, int]] | None = None,
+                 budget: int = TOKEN_BUDGET,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 group: str = "lang") -> DataFrame:
+    """(lang, n_docs, avail_tokens, share_bp, target_tokens, n_epochs,
+    deficit_tokens): the mixture table a sampler consumes. ``n_epochs`` is
+    ceil(target/avail); ``deficit_tokens = n_epochs*avail - target`` is the
+    over-shoot the sampler trims by subsampling the final epoch."""
+    shares = shares_bp or TARGET_SHARES_BP
+    stats = bpe_encode_stats(docs, id_col=id_col, text_col=text_col)
+    avail = (stats.join(docs.select(id_col, group), id_col)
+             .groupBy(group)
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  F.sum("n_tokens").cast("long").alias("avail_tokens")))
+    share_df = spark.createDataFrame(
+        [(lang, bp) for lang, bp in shares], f"{group} string, share_bp long")
+    # floor division via integral DIV to match the SQL dual's `//` exactly
+    target = F.expr(f"CAST(share_bp * {int(budget)} DIV 10000 AS LONG)")
+    epochs = F.expr("CAST((target_tokens + avail_tokens - 1)"
+                    " DIV avail_tokens AS LONG)")
+    return (avail.join(F.broadcast(share_df), group)
+            .withColumn("target_tokens", target)
+            .withColumn("n_epochs", epochs)
+            .withColumn("deficit_tokens",
+                        (F.col("n_epochs") * F.col("avail_tokens")
+                         - F.col("target_tokens")).cast("long"))
+            .select(group, "n_docs", "avail_tokens", "share_bp",
+                    "target_tokens", "n_epochs", "deficit_tokens"))
+
+
+# --------------------------------------------------------------- DuckDB dual
+def mixture_plan_sql(shares_bp: list[tuple[str, int]] | None = None,
+                     budget: int = TOKEN_BUDGET, doc_rel: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text",
+                     group: str = "lang") -> str:
+    shares = shares_bp or TARGET_SHARES_BP
+    values = ", ".join(f"('{lang}', CAST({bp} AS BIGINT))"
+                       for lang, bp in shares)
+    enc = bpe_encode_sql(doc_rel=doc_rel, id_col=id_col, text_col=text_col)
+    return f"""
+WITH enc AS ({enc}),
+avail AS (
+  SELECT d.{group},
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(e.n_tokens) AS BIGINT) AS avail_tokens
+  FROM enc e JOIN {doc_rel} d USING ({id_col})
+  GROUP BY d.{group}
+), shares({group}, share_bp) AS (VALUES {values}),
+planned AS (
+  SELECT a.{group}, a.n_docs, a.avail_tokens, s.share_bp,
+         CAST(s.share_bp * {int(budget)} // 10000 AS BIGINT) AS target_tokens
+  FROM avail a JOIN shares s USING ({group})
+)
+SELECT {group}, n_docs, avail_tokens, share_bp, target_tokens,
+       CAST((target_tokens + avail_tokens - 1) // avail_tokens AS BIGINT)
+         AS n_epochs,
+       CAST((target_tokens + avail_tokens - 1) // avail_tokens * avail_tokens
+            - target_tokens AS BIGINT) AS deficit_tokens
+FROM planned"""

@@ -1,0 +1,130 @@
+"""Snapshot diff — Iceberg-style incremental change detection over a crawl
+log.
+
+The north-rule pipeline checkpoints every stage as a snapshot; the
+operation users run between two snapshots is the DIFF: which logical pages
+appeared, which were re-fetched with newer content, which are unchanged.
+Iceberg exposes this as the ``changelog`` / incremental read between two
+snapshot ids; over an append-only crawl log the same answer is computable
+from the data itself: the state "as of T" is the latest fetch per canonical
+URL among rows with ``fetch_epoch <= T``, and the diff compares two such
+states. geoclimate analogue: the OSM re-extract workflow diffs a zone's
+newly-downloaded layer against the cached one before recomputing
+indicators (``osm/WorkflowOSM.groovy:530-585``, cache-or-refresh decision).
+
+Exactness: the latest-fetch winner is picked by the int64 encoded key
+``fetch_epoch * 10^7 + crawl_id`` — a lexicographic (epoch, crawl_id) max
+in one 64-bit integer (epochs < 2^31 and crawl ids < 10^7 by fixture
+construction, so no overflow and no collision). MAX over that key is
+associative → partial-agg friendly, and identical in both engines. NULL
+handling: ``MAX(CASE WHEN epoch <= T1 THEN key END)`` is NULL iff the URL
+did not exist at T1 — exactly the "added" class.
+
+Scale shape: ONE hash aggregation on canon_url (map-side partial MAX, no
+join, no window); the diff classification is a codegen projection. At
+10^12 crawl rows this is the cheapest possible shape — and under a real
+Iceberg catalog the T1/T2 predicates prune to the files of the two
+snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .urlnorm import _EPOCH, _YEAR, canonical_url_col, canonical_url_sql
+
+# snapshot boundaries: mid-year and end-of-range — deterministic constants
+T1_EPOCH = _EPOCH + _YEAR // 2
+T2_EPOCH = _EPOCH + _YEAR
+
+_KEY_SCALE = 10_000_000  # crawl_id < 10^7; epoch*1e7 + id < 2^63
+
+_M = 2_147_483_647
+_A = 48_271
+
+
+def crawl_history_fixture_sql(id_col: str = "doc_id",
+                              canon_n: int = 150) -> dict[str, str]:
+    """Engine-agnostic SQL fragments for a crawl history whose per-URL fetch
+    times actually straddle the snapshot boundary. :func:`urlnorm.
+    url_crawl_fixture_sql`'s epoch is AFFINE in the id (an LCG step), so
+    within a canon group (ids ≡ mod canon_n) epochs differ by one fixed
+    delta and every group straddles mid-year — the diff degenerates to all
+    'updated'. Squaring the id first breaks the affinity (verified mix at
+    sf0.01: 37 added / 83 updated / 30 unchanged). ``keep_pred`` drops ~1/4
+    of crawls so per-URL fetch counts vary too. Precondition: id < 2^31 so
+    id*id stays in int64 — same bound in both engines, overflow-free.
+
+    The messy ``raw_url`` noise is reused from urlnorm so canonicalization
+    stays exercised by the diff."""
+    from .urlnorm import url_crawl_fixture_sql
+    raw_url = url_crawl_fixture_sql(id_col, canon_n)["raw_url"]
+    sq = f"(({id_col}) * ({id_col}) % {_M})"
+    epoch = (f"CAST({_EPOCH} + (({sq}) * {_A} + 11) % {_M} % {_YEAR}"
+             f" AS BIGINT)")
+    keep = f"((({id_col}) * {_A} + 11) % {_M}) % 4 <> 0"
+    return {"raw_url": raw_url, "fetch_epoch": epoch, "keep_pred": keep}
+
+
+def snapshot_diff(crawls: DataFrame, t1: int = T1_EPOCH,
+                  t2: int = T2_EPOCH) -> DataFrame:
+    """(canon_url, change_type, t1_epoch, t1_crawl_id, t2_epoch,
+    t2_crawl_id): per-URL diff between the snapshot states at ``t1`` and
+    ``t2``. change_type ∈ added (absent at t1) / updated (different winning
+    fetch) / unchanged. URLs absent at t2 cannot exist (append-only log with
+    t2 covering the full range), so no 'deleted' class arises here; a
+    tombstoned source would add it symmetrically.
+
+    Input columns: crawl_id, raw_url, fetch_epoch."""
+    key = (F.col("fetch_epoch") * F.lit(_KEY_SCALE)
+           + F.col("crawl_id")).cast("long")
+    c = crawls.select(
+        canonical_url_col(F.col("raw_url")).alias("canon_url"),
+        F.col("fetch_epoch").cast("long").alias("fetch_epoch"),
+        F.col("crawl_id").cast("long").alias("crawl_id"),
+        key.alias("_key"))
+    agg = (c.groupBy("canon_url").agg(
+        F.max(F.when(F.col("fetch_epoch") <= F.lit(int(t1)), F.col("_key")))
+         .alias("_k1"),
+        F.max(F.when(F.col("fetch_epoch") <= F.lit(int(t2)), F.col("_key")))
+         .alias("_k2")))
+    change = (F.when(F.col("_k1").isNull(), F.lit("added"))
+              .when(F.col("_k1") != F.col("_k2"), F.lit("updated"))
+              .otherwise(F.lit("unchanged")))
+    dec = lambda k: (F.expr(f"CAST({k} DIV {_KEY_SCALE} AS LONG)"),
+                     F.expr(f"CAST({k} % {_KEY_SCALE} AS LONG)"))
+    e1, i1 = dec("_k1")
+    e2, i2 = dec("_k2")
+    return (agg.where(F.col("_k2").isNotNull())
+            .select("canon_url", change.alias("change_type"),
+                    e1.alias("t1_epoch"), i1.alias("t1_crawl_id"),
+                    e2.alias("t2_epoch"), i2.alias("t2_crawl_id")))
+
+
+# --------------------------------------------------------------- DuckDB dual
+def snapshot_diff_sql(crawls_sql: str, t1: int = T1_EPOCH,
+                      t2: int = T2_EPOCH) -> str:
+    canon = canonical_url_sql("raw_url")
+    return f"""
+WITH c AS (
+  SELECT {canon} AS canon_url,
+         CAST(fetch_epoch AS BIGINT) AS fetch_epoch,
+         CAST(crawl_id AS BIGINT) AS crawl_id,
+         CAST(fetch_epoch * {_KEY_SCALE} + crawl_id AS BIGINT) AS _key
+  FROM ({crawls_sql})
+), agg AS (
+  SELECT canon_url,
+         MAX(CASE WHEN fetch_epoch <= {int(t1)} THEN _key END) AS _k1,
+         MAX(CASE WHEN fetch_epoch <= {int(t2)} THEN _key END) AS _k2
+  FROM c GROUP BY canon_url
+)
+SELECT canon_url,
+       CASE WHEN _k1 IS NULL THEN 'added'
+            WHEN _k1 <> _k2 THEN 'updated'
+            ELSE 'unchanged' END AS change_type,
+       CAST(_k1 // {_KEY_SCALE} AS BIGINT) AS t1_epoch,
+       CAST(_k1 % {_KEY_SCALE} AS BIGINT) AS t1_crawl_id,
+       CAST(_k2 // {_KEY_SCALE} AS BIGINT) AS t2_epoch,
+       CAST(_k2 % {_KEY_SCALE} AS BIGINT) AS t2_crawl_id
+FROM agg WHERE _k2 IS NOT NULL"""

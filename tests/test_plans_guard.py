@@ -263,3 +263,32 @@ def test_hashvec_and_text_cluster_plans(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "Python" not in plan and "Pandas" not in plan, name
+
+
+def test_round4c_plans(spark):
+    """Third-wave ops: bpe_encode is a shuffle-free codegen projection (no
+    Exchange, no Python); snapshot_diff is ONE hash aggregation with
+    map-side partials; token_mixture_plan broadcasts the literal share
+    table; dedup_containment shares the jaccard index shape (no cartesian,
+    no BNLJ)."""
+    import __spark_entry__ as E
+    qs = E.queries()
+
+    plan = _plan(qs["bpe_encode_tokens"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
+
+    plan = _plan(qs["snapshot_diff"](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Python" not in plan and "Pandas" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(qs["token_mixture_plan"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(qs["dedup_containment"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "Pandas" not in plan

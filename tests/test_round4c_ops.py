@@ -1,0 +1,149 @@
+"""Hand-case semantics for the round-4 third-wave operators (oracle parity
+lives in test_entry / the driver gate): BPE encode, mixture planner,
+snapshot diff, containment pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoclimate_spark.operators import bpeencode, dedup, mixture
+from geoclimate_spark.operators import snapshot as snap
+
+
+# --------------------------------------------------------------- BPE encode
+def _enc(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in bpeencode.bpe_encode_stats(docs).collect()}
+
+
+def test_bpe_encode_chained_merges(spark):
+    # "the": (t,h) then (th,e) -> 1 token; "data": (a,t) then (at,a) -> 2
+    got = _enc(spark, [(1, "the data")])
+    assert got[1].n_words == 2 and got[1].n_chars == 7
+    assert got[1].n_tokens == 3
+
+
+def test_bpe_encode_merges_stay_word_local(spark):
+    # words 'q' and 'u' must NOT merge across the boundary even though
+    # ('q','u') is a merge rule — the double-space sentinel blocks it
+    got = _enc(spark, [(1, "q u"), (2, "qu")])
+    assert got[1].n_tokens == 2
+    assert got[2].n_tokens == 1
+
+
+def test_bpe_encode_boundary_sharing_occurrences_converge(spark):
+    # ' a t a t ... ': one replace pass merges only every second occurrence
+    # (shared boundary space); REPLACE_PASSES passes converge for words up
+    # to 2*REPLACE_PASSES symbols. 12 symbols == the bound exactly.
+    word = "at" * 6  # 12 chars
+    got = _enc(spark, [(7, word)])
+    assert got[7].n_chars == 12 and got[7].n_tokens == 6
+
+
+def test_bpe_encode_drops_null_and_empty(spark):
+    got = _enc(spark, [(1, "the"), (2, None), (3, "   ")])
+    assert set(got) == {1}
+
+
+# ---------------------------------------------------------- mixture planner
+def test_mixture_plan_epochs_and_deficit(spark):
+    # lang a: 3 tokens avail ("qu qu qu"), lang b: 1 token ("qu");
+    # 50/50 shares of a 10-token budget -> target 5 each:
+    # a needs ceil(5/3)=2 epochs (deficit 1), b needs 5 (deficit 0)
+    docs = spark.createDataFrame(
+        [(1, "qu qu qu", "a"), (2, "qu", "b")],
+        "doc_id long, text string, lang string")
+    out = {r.lang: r for r in mixture.mixture_plan(
+        spark, docs, shares_bp=[("a", 5000), ("b", 5000)],
+        budget=10).collect()}
+    assert out["a"].avail_tokens == 3 and out["a"].target_tokens == 5
+    assert out["a"].n_epochs == 2 and out["a"].deficit_tokens == 1
+    assert out["b"].avail_tokens == 1 and out["b"].target_tokens == 5
+    assert out["b"].n_epochs == 5 and out["b"].deficit_tokens == 0
+
+
+def test_mixture_plan_floor_division_targets(spark):
+    # 3333 bp of a 10-token budget floors to 3 target tokens (not 3.333)
+    docs = spark.createDataFrame([(1, "qu", "a")],
+                                 "doc_id long, text string, lang string")
+    row = mixture.mixture_plan(spark, docs, shares_bp=[("a", 3333)],
+                               budget=10).collect()[0]
+    assert row.target_tokens == 3 and row.n_epochs == 3
+
+
+# -------------------------------------------------------------- snapshot diff
+def _crawls(spark, rows):
+    return spark.createDataFrame(
+        rows, "crawl_id long, raw_url string, fetch_epoch long")
+
+
+def test_snapshot_diff_classes_and_tiebreak(spark):
+    u = "http://example.com/page/%d"
+    rows = [
+        # X: two fetches at the SAME epoch before T1, nothing after ->
+        # unchanged; higher crawl_id wins the (epoch, id) max at both times
+        (1, u % 1, 100), (2, u % 1, 100),
+        # Y: refetched after T1 -> updated
+        (3, u % 2, 50), (4, u % 2, 200),
+        # Z: first seen after T1 -> added
+        (5, u % 3, 150),
+    ]
+    out = {r.canon_url: r for r in
+           snap.snapshot_diff(_crawls(spark, rows), t1=120, t2=300).collect()}
+    x, y, z = (out[f"example.com/page/{i}"] for i in (1, 2, 3))
+    assert x.change_type == "unchanged"
+    assert x.t1_crawl_id == 2 and x.t2_crawl_id == 2  # id breaks the tie
+    assert y.change_type == "updated"
+    assert (y.t1_epoch, y.t1_crawl_id, y.t2_epoch, y.t2_crawl_id) == \
+        (50, 3, 200, 4)
+    assert z.change_type == "added"
+    assert z.t1_epoch is None and z.t1_crawl_id is None
+    assert z.t2_epoch == 150
+
+
+def test_snapshot_diff_canonicalizes_urls(spark):
+    # messy variants of ONE logical page collapse to a single diff row
+    rows = [(1, "http://example.com/page/9", 100),
+            (2, "https://www.Example.COM/page/9/?utm_source=feed#sec1", 200)]
+    out = snap.snapshot_diff(_crawls(spark, rows), t1=150, t2=300).collect()
+    assert len(out) == 1 and out[0].change_type == "updated"
+
+
+def test_snapshot_fixture_produces_all_classes(spark, duck):
+    # the squared-id fixture must not degenerate (the urlnorm LCG epoch is
+    # affine within a canon group and yields 100% 'updated')
+    frags = snap.crawl_history_fixture_sql("doc_id")
+    sql = ("SELECT doc_id AS crawl_id, " + frags["raw_url"] + " AS raw_url, "
+           + frags["fetch_epoch"] + " AS fetch_epoch FROM documents WHERE "
+           + frags["keep_pred"])
+    kinds = {r[1] for r in duck.execute(
+        "SELECT canon_url, change_type FROM (" +
+        snap.snapshot_diff_sql(sql) + ")").fetchall()}
+    assert kinds == {"added", "updated", "unchanged"}
+
+
+# ---------------------------------------------------------------- containment
+def test_containment_detects_quote_inclusion(spark):
+    # doc 2 is a verbatim substring of doc 1: containment 1.0 even though
+    # Jaccard is far below any dedup threshold
+    long = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    short = "charlie delta echo"
+    docs = spark.createDataFrame([(1, long), (2, short)],
+                                 "doc_id long, text string")
+    out = dedup.containment_pairs(docs, threshold=0.9, min_common=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b, r.contained_id) == (1, 2, 2)
+    assert r.containment == 1.0
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    assert jac == []  # jaccard misses the inclusion
+
+
+def test_containment_min_common_floors_tiny_sets(spark):
+    # 2-shingle overlap at 100% containment is filtered by min_common=5
+    docs = spark.createDataFrame([(1, "abcdef"), (2, "abcdefghij")],
+                                 "doc_id long, text string")
+    out = dedup.containment_pairs(docs, threshold=0.5, min_common=5).collect()
+    assert out == []
+    out2 = dedup.containment_pairs(docs, threshold=0.5, min_common=1).collect()
+    assert len(out2) == 1 and out2[0].contained_id == 1
