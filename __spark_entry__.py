@@ -45,6 +45,7 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
                                         dupspan, hashvec, kmeans, lmquality,
                                         mixture, segdedup, sprawl, urlnorm,
                                         vocab, winnow)
+from geoclimate_spark.operators import outliers
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
@@ -464,6 +465,20 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.expr(frags["raw_url"]).alias("raw_url"),
                       F.expr(frags["fetch_epoch"]).alias("fetch_epoch")))
     return snapshot_op.snapshot_diff(crawls)
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic quality gate: exact int64 distance of every vector to its
+    own label's floor-mean centroid; top decile per label flagged by
+    deterministic (d2 DESC, id ASC) rank — no quantile interpolation."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return outliers.embedding_outliers(emb)
+
+
+def _q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two sequence-length histogram over BPE-encoded docs (the
+    distribution a packing planner reads); floor-log2 via bin()-length."""
+    return bpeencode.token_length_histogram(_docs(spark, sf_dir))
 
 
 def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1632,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mixture_plan": _q_token_mixture_plan,    # mixture planner (r4)
         "snapshot_diff": _q_snapshot_diff,              # Iceberg-style diff (r4)
         "dedup_containment": _q_dedup_containment,      # quote inclusion (r4)
+        "embedding_outliers": _q_embedding_outliers,    # semantic gate (r4)
+        "token_length_histogram": _q_token_length_histogram,  # seq-len dist (r4)
         "feature_hash_vectors": _q_feature_hash_vectors,  # hashing-trick vectorizer (r4)
         "text_cluster_assignments": _q_text_clusters,   # text->vec->kmeans e2e (r4)
         "ann_recall_report": _q_ann_recall_report,      # in-engine recall metric (r4)
@@ -1870,6 +1887,8 @@ def oracle_sql() -> dict[str, str]:
         "token_mixture_plan": mixture.mixture_plan_sql(),
         "snapshot_diff": snapshot_op.snapshot_diff_sql(_crawl_history_sql()),
         "dedup_containment": dedup.containment_sql(max_df=NGRAM_MAX_DF),
+        "embedding_outliers": outliers.embedding_outliers_sql(),
+        "token_length_histogram": bpeencode.token_length_histogram_sql(),
         "feature_hash_vectors": hashvec.feature_hash_sparse_sql(),
         "text_cluster_assignments": _text_clusters_sql(),
         "ann_recall_report": _ann_recall_report_sql(),

@@ -121,6 +121,25 @@ def corpus_token_budget(stats: DataFrame, by: DataFrame,
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
+def token_length_histogram(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           merges: list[tuple[str, str]] = MERGES) -> DataFrame:
+    """(bucket, n_docs, total_tokens, min_tokens, max_tokens): power-of-two
+    histogram of per-doc token counts — the sequence-length distribution a
+    packing/batching planner reads (bucket = floor(log2(n_tokens)), via the
+    libm-free ``length(bin(x)) - 1`` identity shared with lmquality).
+    Composes the encoder: one shuffle-free encode pass + one tiny hash agg."""
+    stats = bpe_encode_stats(docs, id_col=id_col, text_col=text_col,
+                             merges=merges)
+    bucket = (F.length(F.expr("bin(n_tokens)")) - 1).cast("long")
+    return (stats.where(F.col("n_tokens") > 0)
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.min("n_tokens").cast("long").alias("min_tokens"),
+                 F.max("n_tokens").cast("long").alias("max_tokens")))
+
+
 # --------------------------------------------------------------- DuckDB dual
 def _sym_doc_sql(norm_sql: str) -> str:
     return (
@@ -162,3 +181,19 @@ SELECT {id_col},
        {_count_symbols_sql('_sym')} AS n_chars,
        {_count_symbols_sql(_apply_merges_sql('_sym', merges))} AS n_tokens
 FROM s"""
+
+
+def token_length_histogram_sql(doc_rel: str = "documents",
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               merges: list[tuple[str, str]] = MERGES) -> str:
+    enc = bpe_encode_sql(doc_rel=doc_rel, id_col=id_col, text_col=text_col,
+                         merges=merges)
+    return f"""
+WITH enc AS ({enc})
+SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM enc WHERE n_tokens > 0 GROUP BY 1"""

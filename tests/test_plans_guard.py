@@ -292,3 +292,21 @@ def test_round4c_plans(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_outliers_and_histogram_plans(spark):
+    """embedding_outliers: centroid agg with map-side partials, broadcast
+    join back (few labels), no cartesian/BNLJ/Python; token_length_histogram
+    inherits the encoder's shuffle-free scan + one hash agg."""
+    import __spark_entry__ as E
+    qs = E.queries()
+
+    plan = _plan(qs["embedding_outliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
+
+    plan = _plan(qs["token_length_histogram"](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Python" not in plan and "Pandas" not in plan

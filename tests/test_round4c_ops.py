@@ -147,3 +147,56 @@ def test_containment_min_common_floors_tiny_sets(spark):
     assert out == []
     out2 = dedup.containment_pairs(docs, threshold=0.5, min_common=1).collect()
     assert len(out2) == 1 and out2[0].contained_id == 1
+
+
+# --------------------------------------------------------- embedding outliers
+def test_embedding_outliers_rank_cut_and_exactness(spark):
+    from geoclimate_spark.operators import outliers
+    # label 0: ten 2-d vectors on a line; exactly one (the farthest, id 9)
+    # is flagged at decile 10. Quantization floor: 0.3 -> floor(0.3*2^20).
+    rows = [(i, [float(i), 0.0], 0) for i in range(10)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in
+           outliers.embedding_outliers(emb, dim=2).collect()}
+    assert sum(r.is_outlier for r in out.values()) == 1
+    # ids 0 and 9 are equidistant from the centroid (mean 4.5): the
+    # lowest-id tie-break gives rank 1 (and the one outlier slot) to id 0
+    assert out[0].is_outlier == 1 and out[0].d2_rank == 1
+    assert out[9].is_outlier == 0 and out[9].d2_rank == 2
+    assert out[0].n_label == 10
+    # exact integer distance: centroid = floor(mean(q)); q_i = i * 2^20
+    q = 1 << 20
+    cent = sum(i * q for i in range(10)) // 10
+    assert out[9].d2 == (9 * q - cent) ** 2 == out[0].d2
+
+
+def test_embedding_outliers_tiebreak_lowest_id_first(spark):
+    from geoclimate_spark.operators import outliers
+    # two vectors tied at max distance: the LOWER id takes rank 1
+    rows = [(1, [1.0, 0.0], 0), (2, [-1.0, 0.0], 0),
+            (3, [0.0, 0.0], 0), (4, [0.0, 0.0], 0),
+            (5, [0.0, 0.0], 0), (6, [0.0, 0.0], 0),
+            (7, [0.0, 0.0], 0), (8, [0.0, 0.0], 0),
+            (9, [0.0, 0.0], 0), (10, [0.0, 0.0], 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in
+           outliers.embedding_outliers(emb, dim=2).collect()}
+    assert out[1].d2 == out[2].d2
+    assert out[1].d2_rank == 1 and out[2].d2_rank == 2
+    assert out[1].is_outlier == 1 and out[2].is_outlier == 0
+
+
+# ----------------------------------------------------- token length histogram
+def test_token_length_histogram_buckets(spark):
+    # "qu"*n encodes to n tokens; doc of 1 token -> bucket 0, 2 -> 1, 5 -> 2
+    docs = spark.createDataFrame(
+        [(1, "qu"), (2, "qu qu"), (3, "qu qu qu qu qu")],
+        "doc_id long, text string")
+    out = {r.bucket: r for r in
+           bpeencode.token_length_histogram(docs).collect()}
+    assert out[0].n_docs == 1 and out[0].total_tokens == 1
+    assert out[1].n_docs == 1 and out[1].total_tokens == 2
+    assert out[2].n_docs == 1 and out[2].min_tokens == 5 \
+        and out[2].max_tokens == 5
