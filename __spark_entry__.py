@@ -481,6 +481,23 @@ def _q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpeencode.token_length_histogram(_docs(spark, sf_dir))
 
 
+_CRAWL_HOST_SQL = "concat('h', CAST(doc_id % 150 % 8 AS STRING), '.example.com')"
+
+
+def _q_incremental_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance proof: per-host live-state rollup at T2
+    computed as T1 base ⊕ diff delta (never re-reading history); the oracle
+    recomputes T2 from scratch, so hash-equality verifies the algebra."""
+    frags = snapshot_op.crawl_history_fixture_sql("doc_id")
+    crawls = (_docs(spark, sf_dir)
+              .where(F.expr(frags["keep_pred"]))
+              .select(F.col("doc_id").alias("crawl_id"),
+                      F.expr(frags["raw_url"]).alias("raw_url"),
+                      F.expr(frags["fetch_epoch"]).alias("fetch_epoch"),
+                      F.expr(_CRAWL_HOST_SQL).alias("host")))
+    return snapshot_op.incremental_host_rollup(crawls)
+
+
 def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder containment (|A∩B| / min set) over the inverted shingle index
     — the quote-inclusion detector Jaccard misses (a short doc embedded in
@@ -1649,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,      # quote inclusion (r4)
         "embedding_outliers": _q_embedding_outliers,    # semantic gate (r4)
         "token_length_histogram": _q_token_length_histogram,  # seq-len dist (r4)
+        "incremental_host_rollup": _q_incremental_host_rollup,  # base+delta ≡ recompute (r4)
         "feature_hash_vectors": _q_feature_hash_vectors,  # hashing-trick vectorizer (r4)
         "text_cluster_assignments": _q_text_clusters,   # text->vec->kmeans e2e (r4)
         "ann_recall_report": _q_ann_recall_report,      # in-engine recall metric (r4)
@@ -1868,13 +1886,15 @@ def _tile_indicator_table_sql() -> str:
         ("lod", lod, "tile_id")])
 
 
-def _crawl_history_sql() -> str:
-    """Crawl-log fixture for snapshot_diff — the exact SQL dual of the
-    engine-side frame built in _q_snapshot_diff (same fragments)."""
+def _crawl_history_sql(with_host: bool = False) -> str:
+    """Crawl-log fixture for snapshot_diff / incremental_host_rollup — the
+    exact SQL dual of the engine-side frames (same fragments)."""
     frags = snapshot_op.crawl_history_fixture_sql("doc_id")
+    host = (", " + _CRAWL_HOST_SQL + " AS host") if with_host else ""
     return ("SELECT doc_id AS crawl_id, " + frags["raw_url"]
             + " AS raw_url, " + frags["fetch_epoch"]
-            + " AS fetch_epoch FROM documents WHERE " + frags["keep_pred"])
+            + " AS fetch_epoch" + host
+            + " FROM documents WHERE " + frags["keep_pred"])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1889,6 +1909,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": dedup.containment_sql(max_df=NGRAM_MAX_DF),
         "embedding_outliers": outliers.embedding_outliers_sql(),
         "token_length_histogram": bpeencode.token_length_histogram_sql(),
+        "incremental_host_rollup": snapshot_op.incremental_host_rollup_sql(
+            _crawl_history_sql(with_host=True)),
         "feature_hash_vectors": hashvec.feature_hash_sparse_sql(),
         "text_cluster_assignments": _text_clusters_sql(),
         "ann_recall_report": _ann_recall_report_sql(),

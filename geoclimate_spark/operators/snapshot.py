@@ -102,6 +102,77 @@ def snapshot_diff(crawls: DataFrame, t1: int = T1_EPOCH,
                     e2.alias("t2_epoch"), i2.alias("t2_crawl_id")))
 
 
+def incremental_host_rollup(crawls: DataFrame, t1: int = T1_EPOCH,
+                            t2: int = T2_EPOCH) -> DataFrame:
+    """(host, n_urls, sum_epoch): per-host rollup of the LIVE state at
+    ``t2`` — computed INCREMENTALLY: the t1 base aggregate merged with the
+    t1→t2 diff's delta, never re-reading the t1 history. The DuckDB oracle
+    recomputes the t2 state from scratch, so the correctness check proves
+    the incremental-maintenance algebra itself (base ⊕ delta ≡ recompute)
+    — the 100-TB point: a daily update touches the delta, not the corpus.
+
+    Delta algebra per diff class: added → (+1 url, +epoch₂); updated →
+    (+0, +epoch₂ − epoch₁); unchanged → (0, 0) (dropped before the merge).
+    The merge is a full outer join on host with coalesce(0) — hosts born
+    after t1 appear only in the delta, quiet hosts only in the base.
+
+    Input columns: crawl_id, raw_url, fetch_epoch, host (a property of the
+    logical page — constant across its crawls)."""
+    key = (F.col("fetch_epoch") * F.lit(_KEY_SCALE)
+           + F.col("crawl_id")).cast("long")
+    st = (crawls.select(
+            canonical_url_col(F.col("raw_url")).alias("canon_url"),
+            F.col("host"),
+            F.col("fetch_epoch").cast("long").alias("fetch_epoch"),
+            key.alias("_key"))
+          .groupBy("canon_url", "host")
+          .agg(F.max(F.when(F.col("fetch_epoch") <= F.lit(int(t1)),
+                            F.col("_key"))).alias("_k1"),
+               F.max(F.when(F.col("fetch_epoch") <= F.lit(int(t2)),
+                            F.col("_key"))).alias("_k2")))
+    e1 = F.expr(f"CAST(_k1 DIV {_KEY_SCALE} AS LONG)")
+    e2 = F.expr(f"CAST(_k2 DIV {_KEY_SCALE} AS LONG)")
+    base = (st.where(F.col("_k1").isNotNull())
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("_bn"),
+                 F.sum(e1).cast("long").alias("_bs")))
+    delta = (st.where(F.col("_k2").isNotNull()
+                      & (F.col("_k1").isNull()
+                         | (F.col("_k1") != F.col("_k2"))))
+             .groupBy("host")
+             .agg(F.sum(F.when(F.col("_k1").isNull(), 1).otherwise(0))
+                  .cast("long").alias("_dn"),
+                  F.sum(e2 - F.coalesce(e1, F.lit(0))).cast("long")
+                  .alias("_ds")))
+    z = F.lit(0).cast("long")
+    return (base.join(delta, "host", "full_outer")
+            .select("host",
+                    (F.coalesce("_bn", z) + F.coalesce("_dn", z))
+                    .cast("long").alias("n_urls"),
+                    (F.coalesce("_bs", z) + F.coalesce("_ds", z))
+                    .cast("long").alias("sum_epoch")))
+
+
+def incremental_host_rollup_sql(crawls_sql: str,
+                                t2: int = T2_EPOCH) -> str:
+    """Oracle = FULL RECOMPUTE of the t2 live state (deliberately not the
+    incremental algorithm): latest fetch per canonical URL at t2, rolled up
+    per host."""
+    canon = canonical_url_sql("raw_url")
+    return f"""
+WITH c AS (
+  SELECT {canon} AS canon_url, host,
+         CAST(fetch_epoch AS BIGINT) AS fetch_epoch,
+         CAST(fetch_epoch * {_KEY_SCALE} + crawl_id AS BIGINT) AS _key
+  FROM ({crawls_sql}) WHERE fetch_epoch <= {int(t2)}
+), live AS (
+  SELECT canon_url, host, MAX(_key) AS _k FROM c GROUP BY canon_url, host
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(_k // {_KEY_SCALE}) AS BIGINT) AS sum_epoch
+FROM live GROUP BY host"""
+
+
 # --------------------------------------------------------------- DuckDB dual
 def snapshot_diff_sql(crawls_sql: str, t1: int = T1_EPOCH,
                       t2: int = T2_EPOCH) -> str:

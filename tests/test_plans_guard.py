@@ -310,3 +310,17 @@ def test_outliers_and_histogram_plans(spark):
     plan = _plan(qs["token_length_histogram"](spark, SF))
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_incremental_rollup_plan(spark):
+    """incremental_host_rollup: per-url state is ONE hash agg (map-side
+    partial MAX); base/delta are aggs over it; the merge is a join on host
+    — no cartesian/BNLJ/Python, and the t1 history is never re-scanned
+    (single FileScan of the crawl fixture)."""
+    import re
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["incremental_host_rollup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
+    assert len(re.findall(r"FileScan parquet", plan)) <= 2  # base+delta reuse

@@ -200,3 +200,20 @@ def test_token_length_histogram_buckets(spark):
     assert out[1].n_docs == 1 and out[1].total_tokens == 2
     assert out[2].n_docs == 1 and out[2].min_tokens == 5 \
         and out[2].max_tokens == 5
+
+
+# --------------------------------------------------- incremental host rollup
+def test_incremental_rollup_matches_recompute_with_host_births(spark):
+    # host A: one url live before t1, updated after; host B: born after t1
+    # (delta-only); host C: quiet since before t1 (base-only)
+    rows = [(1, "http://a.com/page/1", 100, "a.com"),
+            (2, "http://a.com/page/1", 200, "a.com"),
+            (3, "http://b.com/page/2", 150, "b.com"),
+            (4, "http://c.com/page/3", 50, "c.com")]
+    crawls = spark.createDataFrame(
+        rows, "crawl_id long, raw_url string, fetch_epoch long, host string")
+    out = {r.host: r for r in
+           snap.incremental_host_rollup(crawls, t1=120, t2=300).collect()}
+    assert out["a.com"].n_urls == 1 and out["a.com"].sum_epoch == 200
+    assert out["b.com"].n_urls == 1 and out["b.com"].sum_epoch == 150
+    assert out["c.com"].n_urls == 1 and out["c.com"].sum_epoch == 50
