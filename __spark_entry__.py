@@ -498,6 +498,15 @@ def _q_incremental_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_op.incremental_host_rollup(crawls)
 
 
+def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: corpus vectors within
+    cosine 0.9 of any (deterministically perturbed) benchmark vector; the
+    bench side broadcasts, scoring is a codegen fold, and the threshold
+    filter precedes the best-match window."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.semantic_contamination(emb)
+
+
 def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder containment (|A∩B| / min set) over the inverted shingle index
     — the quote-inclusion detector Jaccard misses (a short doc embedded in
@@ -1667,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,    # semantic gate (r4)
         "token_length_histogram": _q_token_length_histogram,  # seq-len dist (r4)
         "incremental_host_rollup": _q_incremental_host_rollup,  # base+delta ≡ recompute (r4)
+        "semantic_contamination": _q_semantic_contamination,  # embedding decontam (r4)
         "feature_hash_vectors": _q_feature_hash_vectors,  # hashing-trick vectorizer (r4)
         "text_cluster_assignments": _q_text_clusters,   # text->vec->kmeans e2e (r4)
         "ann_recall_report": _q_ann_recall_report,      # in-engine recall metric (r4)
@@ -1911,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "token_length_histogram": bpeencode.token_length_histogram_sql(),
         "incremental_host_rollup": snapshot_op.incremental_host_rollup_sql(
             _crawl_history_sql(with_host=True)),
+        "semantic_contamination": similarity.semantic_contamination_sql(),
         "feature_hash_vectors": hashvec.feature_hash_sparse_sql(),
         "text_cluster_assignments": _text_clusters_sql(),
         "ann_recall_report": _ann_recall_report_sql(),

@@ -914,3 +914,89 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY cos DESC, {id_col} ASC) AS rank FROM exact)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, {id_col}, cos
 FROM ranked WHERE rank <= {k}"""
+
+
+# ------------------------------------------------- semantic decontamination
+BENCH_SRC_IDS = [0, 50, 100, 150, 200, 250, 300, 350]
+BENCH_PERTURB = 1.25  # component-0 scale: cos(source, bench copy) ~0.99
+CONTAM_COS_T = 0.9
+
+
+def semantic_contamination(emb: DataFrame,
+                           bench_src_ids: list[int] | None = None,
+                           threshold: float = CONTAM_COS_T,
+                           id_col: str = "vec_id",
+                           vec: str = "embedding") -> DataFrame:
+    """(vec_id, bench_id, cos): corpus vectors whose cosine to ANY benchmark
+    vector reaches ``threshold`` — embedding-space benchmark decontamination,
+    the fuzzy sibling of :mod:`.contamination`'s n-gram detector (catches
+    paraphrased/reformatted leaks that shingles miss). ``bench_id`` is the
+    best-matching benchmark item (ties → lowest id).
+
+    The benchmark set here is derived IN the query as deterministically
+    perturbed copies of ``bench_src_ids``'s vectors (component 0 scaled by
+    BENCH_PERTURB) — a stand-in for a real leaked-benchmark table with known
+    positives: each source doc must flag against its own perturbed copy
+    while the near-orthogonal rest of the corpus (max cross-cos ~0.45 on
+    the fixture) stays clean.
+
+    Scale shape: the bench side BROADCASTS (benchmark suites are 10^3-10^5
+    rows vs a 10^12 corpus) through the column-derived constant-key join
+    (kmeans idiom — a literal key constant-folds into a BNLJ); scoring is a
+    codegen fold per (corpus, bench) pair; the threshold filter runs BEFORE
+    the best-match window, so the rank shuffle only carries flagged rows."""
+    ids = bench_src_ids or BENCH_SRC_IDS
+    base = _with_norm(emb, id_col, vec)
+    # promote to DOUBLE before the perturb multiply: DuckDB would otherwise
+    # multiply in float32 and the last-ulp drift breaks the cos hash parity
+    pert = F.transform(
+        F.col("v"),
+        lambda x, i: F.when(i == 0, x.cast("double") * F.lit(BENCH_PERTURB))
+                      .otherwise(x.cast("double")))
+    bench = (base.where(F.col("id").isin(ids))
+             .select(F.col("id").alias("bench_id"), pert.alias("bv"))
+             .withColumn("bn", F.sqrt(_dot(F.col("bv"), F.col("bv")))))
+    j = (base.withColumn("_one", F.pmod(F.col("id"), F.lit(1)))
+         .join(F.broadcast(bench.withColumn(
+             "_one", F.pmod(F.col("bench_id"), F.lit(1)))), "_one")
+         .select(F.col("id").alias(id_col), "bench_id",
+                 (_dot(F.col("v"), F.col("bv"))
+                  / (F.col("nrm") * F.col("bn"))).alias("cos"))
+         .where(F.col("cos") >= F.lit(threshold)))
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(),
+                                           F.col("bench_id").asc())
+    return (j.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_col, "bench_id", "cos"))
+
+
+def semantic_contamination_sql(bench_src_ids: list[int] | None = None,
+                               threshold: float = CONTAM_COS_T,
+                               rel: str = "embeddings",
+                               id_col: str = "vec_id",
+                               vec: str = "embedding") -> str:
+    ids = ", ".join(str(i) for i in (bench_src_ids or BENCH_SRC_IDS))
+    nrm = _DOT_SQL.format(a=vec, b=vec)
+    # DuckDB two-arg list lambdas index from 1; Spark transform() from 0 —
+    # both expressions perturb exactly the first component
+    pert = (f"list_transform({vec}, (x, i) -> CASE WHEN i = 1 "
+            f"THEN CAST(x AS DOUBLE) * {BENCH_PERTURB} "
+            f"ELSE CAST(x AS DOUBLE) END)")
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {vec}, SQRT({nrm}) AS nrm FROM {rel}),
+bench AS (
+  SELECT id AS bench_id, {pert.replace(vec, vec)} AS bv
+  FROM (SELECT id, {vec} FROM base WHERE id IN ({ids}))
+), benchn AS (
+  SELECT bench_id, bv, SQRT({_DOT_SQL.format(a='bv', b='bv')}) AS bn
+  FROM bench
+), scored AS (
+  SELECT c.id AS {id_col}, b.bench_id,
+         {_DOT_SQL.format(a='c.' + vec, b='b.bv')} / (c.nrm * b.bn) AS cos
+  FROM base c CROSS JOIN benchn b
+), flagged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
+            ORDER BY cos DESC, bench_id ASC) AS rn
+  FROM scored WHERE cos >= {threshold}
+)
+SELECT {id_col}, bench_id, cos FROM flagged WHERE rn = 1"""

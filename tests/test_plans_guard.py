@@ -324,3 +324,15 @@ def test_incremental_rollup_plan(spark):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "Pandas" not in plan
     assert len(re.findall(r"FileScan parquet", plan)) <= 2  # base+delta reuse
+
+
+def test_semantic_contamination_plan(spark):
+    """Bench side broadcasts via the constant-key idiom (BroadcastHashJoin,
+    never BNLJ); the threshold filter precedes the best-match window so the
+    rank shuffle only carries flagged rows. Pure JVM."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["semantic_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "Pandas" not in plan

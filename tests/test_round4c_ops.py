@@ -217,3 +217,15 @@ def test_incremental_rollup_matches_recompute_with_host_births(spark):
     assert out["a.com"].n_urls == 1 and out["a.com"].sum_epoch == 200
     assert out["b.com"].n_urls == 1 and out["b.com"].sum_epoch == 150
     assert out["c.com"].n_urls == 1 and out["c.com"].sum_epoch == 50
+
+
+# ------------------------------------------------------ semantic contamination
+def test_semantic_contamination_flags_only_leaked_sources(spark):
+    from geoclimate_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = similarity.semantic_contamination(emb).collect()
+    # each benchmark source flags against its OWN perturbed copy at ~0.999;
+    # the near-orthogonal rest of the corpus (max cross-cos ~0.45) is clean
+    assert {(r.vec_id, r.bench_id) for r in out} == \
+        {(i, i) for i in similarity.BENCH_SRC_IDS}
+    assert all(r.cos > 0.99 for r in out)
