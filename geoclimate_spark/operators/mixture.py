@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .bpeencode import bpe_encode_sql, bpe_encode_stats
+from .bpeencode import bpe_encode_sql, bpe_encode_stats, corpus_token_budget
 
 # Frozen mixture targets in basis points (sum = 10000) and the run's token
 # budget. A real pipeline would load these from the training config.
@@ -51,10 +51,9 @@ def mixture_plan(spark: SparkSession, docs: DataFrame,
     over-shoot the sampler trims by subsampling the final epoch."""
     shares = shares_bp or TARGET_SHARES_BP
     stats = bpe_encode_stats(docs, id_col=id_col, text_col=text_col)
-    avail = (stats.join(docs.select(id_col, group), id_col)
-             .groupBy(group)
-             .agg(F.count("*").cast("long").alias("n_docs"),
-                  F.sum("n_tokens").cast("long").alias("avail_tokens")))
+    avail = (corpus_token_budget(stats, docs, key=id_col, group=group)
+             .withColumnRenamed("total_tokens", "avail_tokens")
+             .drop("total_chars"))
     share_df = spark.createDataFrame(
         [(lang, bp) for lang, bp in shares], f"{group} string, share_bp long")
     # floor division via integral DIV to match the SQL dual's `//` exactly
