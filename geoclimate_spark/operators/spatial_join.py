@@ -83,10 +83,69 @@ def _pip_refine_udf(zones: list[Zone]):
     return pip
 
 
+def _rect_bounds_e6(zones: list[Zone]) -> dict[int, tuple[int, int, int, int]] | None:
+    """If EVERY zone is an axis-aligned rectangle whose edges sit exactly on
+    the integer-µ° grid, return {zone_id: (lon0,lat0,lon1,lat1) int µ°};
+    else None. Both conditions are required for the codegen fast path to be
+    bit-equivalent to the ray-cast refine: rectangles make PIP four
+    comparisons, and exact-µ° edges make the integer comparison identical to
+    the float boundary-inclusive test (points only ever live on the µ° grid,
+    so a non-grid edge could disagree within the snap gap)."""
+    out: dict[int, tuple[int, int, int, int]] = {}
+    for z in zones:
+        p = np.asarray(z.poly, np.float64)
+        if p.shape != (4, 2):
+            return None
+        lo0, la0, lo1, la1 = z.bbox
+        corners = {(lo0, la0), (lo1, la0), (lo1, la1), (lo0, la1)}
+        if {(float(x), float(y)) for x, y in p} != corners:
+            return None
+        e6 = [v * grid.LON_SCALE for v in (lo0, la0, lo1, la1)]
+        snapped = [float(np.floor(v + 0.5)) for v in e6]
+        if any(abs(v - s) > 1e-3 for v, s in zip(e6, snapped)):
+            return None
+        out[z.zone_id] = tuple(int(s) for s in snapped)
+    return out
+
+
+def _rect_cell_dim_df(spark, zones: list[Zone], res: int,
+                      bounds: dict[int, tuple[int, int, int, int]]) -> DataFrame:
+    """ONE row per covering cell: the lowest fully-covering zone id plus the
+    (ascending-id) list of partially-covering rectangles as int-µ° bounds.
+    The per-cell pre-aggregation is what makes the page-side join 1:1."""
+    cell, zid, full = zone_covering(zones, res)
+    # the covering is driver-side already (small dim) — aggregate it here so
+    # the dim reaches Spark as ONE LocalTableScan row per cell, no dim-side
+    # exchange in any consumer plan
+    order = np.lexsort((zid, cell))
+    rows: list[tuple] = []
+    cur = None
+    fullmin: int | None = None
+    partials: list[tuple[int, int, int, int, int]] = []
+    for i in order:
+        c = int(cell[i])
+        if c != cur:
+            if cur is not None:
+                rows.append((cur, fullmin, partials))
+            cur, fullmin, partials = c, None, []
+        z = int(zid[i])
+        if full[i]:
+            fullmin = z if fullmin is None else min(fullmin, z)
+        else:
+            partials.append((z, *bounds[z]))
+    if cur is not None:
+        rows.append((cur, fullmin, partials))
+    return spark.createDataFrame(
+        rows,
+        "z_cell long, z_fullmin long, z_partials array<struct<"
+        "zid:long,lon0:long,lat0:long,lon1:long,lat1:long>>")
+
+
 def spatial_join_points(df: DataFrame, zones: list[Zone], key: str = "page_id",
                         lon: str = "lon_e6", lat: str = "lat_e6",
                         res: int | None = None, max_cells: int = 20_000,
-                        passthrough: list[str] | None = None) -> DataFrame:
+                        passthrough: list[str] | None = None,
+                        force_generic: bool = False) -> DataFrame:
     """Assign each row's point to its containing zone.
 
     Returns ``(key, zone_id, *passthrough)`` — one row per input row whose
@@ -94,13 +153,46 @@ def spatial_join_points(df: DataFrame, zones: list[Zone], key: str = "page_id",
     overlaps. ``passthrough`` columns ride through the narrow aggregation
     (every candidate row of a key carries identical values, so ``first`` is
     deterministic) — avoids a second wide join at page scale.
+
+    Physical strategy is picked per zone geometry:
+
+    * **all-rectangle zones on the µ° grid** (the climate-band dim and any
+      gridded zoning): ZERO-shuffle, ZERO-Python path. The covering is
+      pre-aggregated to ONE row per cell (min fully-covering zone id + the
+      short ascending list of partially-covering rects), so the page side
+      does a single 1:1 broadcast hash join and resolves the winner with
+      codegen'd integer comparisons (``filter``/``transform``/``array_min``
+      over the per-cell rect list + ``least`` with the full-cover min).
+      Nothing is exploded, nothing is shuffled, no Arrow round-trip — at
+      100 TB the operator costs exactly one map pass over the pages.
+    * **general convex polygons**: the original filter-and-refine — explode
+      candidates against the covering, Arrow-batched ray-cast on
+      partial-cell rows only, then a narrow min(zone_id) aggregation.
+
+    Both paths are bit-equivalent (asserted in tests/test_spatial_join.py);
+    ``force_generic=True`` pins the polygon path (tests).
     """
     spark = df.sparkSession
     if res is None:
         res = pick_cover_res(zones, max_cells)
+    passthrough = passthrough or []
+    rect_bounds = None if force_generic else _rect_bounds_e6(zones)
+    if rect_bounds is not None:
+        dim = _rect_cell_dim_df(spark, zones, res, rect_bounds)
+        pts = (df.where(F.col(lon).isNotNull())
+                 .select(key, lon, lat, *passthrough)
+                 .withColumn("_jcell", grid.cell_col(F.col(lon), F.col(lat), res)))
+        j = pts.join(F.broadcast(dim), pts["_jcell"] == dim["z_cell"], "inner")
+        lo, la = F.col(lon), F.col(lat)
+        in_rect = lambda p: ((lo >= p["lon0"]) & (lo <= p["lon1"])
+                             & (la >= p["lat0"]) & (la <= p["lat1"]))
+        part_min = F.array_min(F.transform(
+            F.filter(F.col("z_partials"), in_rect), lambda p: p["zid"]))
+        zone = F.least(F.col("z_fullmin"), part_min)
+        return (j.select(key, zone.alias("zone_id"), lon, lat, *passthrough)
+                 .where(F.col("zone_id").isNotNull()))
     cov = covering_df(spark, zones, res)
     pip = _pip_refine_udf(zones)
-    passthrough = passthrough or []
 
     pts = (df.where(F.col(lon).isNotNull())
              .select(key, lon, lat, *passthrough)

@@ -16,7 +16,13 @@ def test_flagship_plan_shape(spark):
     plan = _plan(flagship.run(spark, SF))
     assert "SortAggregate" not in plan, "string agg buffers demote to sort agg"
     assert "BroadcastHashJoin" in plan, "zone covering must broadcast"
-    assert "ArrowEvalPython" in plan, "PIP refine must be Arrow, not batch-less"
+    # rect-zone fast path: the whole PIP join is JVM-side codegen — no
+    # Arrow/Python eval node anywhere, and the ONLY exchange is the final
+    # (zone, tile) aggregation's (the 1:1 cell-dim join never shuffles)
+    assert "ArrowEvalPython" not in plan, "rect zones must skip the UDF refine"
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, \
+        "final agg may shuffle (partial+merge is one boundary); PIP must not"
     assert "CartesianProduct" not in plan
 
 

@@ -89,6 +89,36 @@ def test_full_cell_fast_path_consistency(spark):
     assert a.zone_id.tolist() == b.zone_id.tolist()
 
 
+def test_rect_fast_path_equals_generic_refine(spark):
+    """The zero-shuffle rect path and the explode+ray-cast path must be
+    bit-equivalent on rect zones — including boundary ties and overlaps."""
+    g = _geo_pages(spark)
+    zones = layers.climate_zones()
+    fast = spatial_join_points(g, zones).orderBy("page_id").toPandas()
+    slow = spatial_join_points(g, zones, force_generic=True) \
+        .orderBy("page_id").toPandas()
+    assert fast.page_id.tolist() == slow.page_id.tolist()
+    assert fast.zone_id.tolist() == slow.zone_id.tolist()
+    # and the fast plan really is UDF-free + shuffle-free
+    plan = spatial_join_points(g, zones)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_rect_fast_path_requires_grid_aligned_edges(spark):
+    """A rectangle whose edge is NOT on the µ° grid must fall back to the
+    generic path (the integer comparison would disagree inside the snap
+    gap)."""
+    from geoclimate_spark.operators.spatial_join import _rect_bounds_e6
+    ok = layers.Zone(1, "a", geometry.rect_poly(0.0, 0.0, 1.0, 1.0))
+    off = layers.Zone(2, "b", geometry.rect_poly(0.00000042, 0.0, 1.0, 1.0))
+    assert _rect_bounds_e6([ok]) == {1: (0, 0, 1_000_000, 1_000_000)}
+    assert _rect_bounds_e6([ok, off]) is None
+    tri = layers.Zone(3, "c", np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]]))
+    assert _rect_bounds_e6([tri]) is None
+
+
 def test_pick_cover_res_budget():
     zones = layers.climate_zones()
     res = pick_cover_res(zones, max_cells=20_000)
