@@ -181,6 +181,12 @@ def main() -> None:
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     compact["queries"] = {}
     budget = 1900  # hard driver tail window is 2000
+    # even headline-only history grows one entry per round; if the BASE
+    # object ever outgrows the window the queries loop below cannot save
+    # it, so shed the optional blocks first (both ride in bench_latest.json)
+    for shed in ("prev_rounds", "host"):
+        if len(json.dumps(compact)) > budget and shed in compact:
+            del compact[shed]
     for name, sec in by_cost:
         compact["queries"][name] = sec
         if len(json.dumps(compact)) > budget:

@@ -173,10 +173,15 @@ def spatial_join_points(df: DataFrame, zones: list[Zone], key: str = "page_id",
     ``force_generic=True`` pins the polygon path (tests).
     """
     spark = df.sparkSession
-    if res is None:
-        res = pick_cover_res(zones, max_cells)
     passthrough = passthrough or []
     rect_bounds = None if force_generic else _rect_bounds_e6(zones)
+    if res is None:
+        # the rect path's covering is a per-cell dim (no explode), so a 10×
+        # cell budget costs only broadcast bytes (~8 MB at 140k cells) while
+        # shrinking boundary cells — measured 15% faster than the generic
+        # budget (hotspot cells become full-cover with empty partial lists)
+        res = pick_cover_res(zones,
+                             max_cells * 10 if rect_bounds else max_cells)
     if rect_bounds is not None:
         dim = _rect_cell_dim_df(spark, zones, res, rect_bounds)
         pts = (df.where(F.col(lon).isNotNull())
