@@ -108,37 +108,52 @@ def _rect_bounds_e6(zones: list[Zone]) -> dict[int, tuple[int, int, int, int]] |
     return out
 
 
+_DIM_CACHE: dict = {}
+
+
 def _rect_cell_dim_df(spark, zones: list[Zone], res: int,
                       bounds: dict[int, tuple[int, int, int, int]]) -> DataFrame:
     """ONE row per covering cell: the lowest fully-covering zone id plus the
     (ascending-id) list of partially-covering rectangles as int-µ° bounds.
-    The per-cell pre-aggregation is what makes the page-side join 1:1."""
+    The per-cell pre-aggregation is what makes the page-side join 1:1.
+
+    Cached per (session, zones, res): createDataFrame ships the local rows
+    Python→JVM eagerly, so at the rect path's 10× cell budget the build is a
+    ~1 s driver-side fixed cost that every rect-join query in a session
+    would otherwise re-pay (measured 2.4× on short sf0.01 queries). The dim
+    is immutable for a given zone set, so reuse is exact."""
+    ckey = (id(spark), res, tuple((z.zone_id, z.bbox) for z in zones))
+    if ckey in _DIM_CACHE:
+        return _DIM_CACHE[ckey]
     cell, zid, full = zone_covering(zones, res)
     # the covering is driver-side already (small dim) — aggregate it here so
     # the dim reaches Spark as ONE LocalTableScan row per cell, no dim-side
-    # exchange in any consumer plan
+    # exchange in any consumer plan. lexsort on (cell, zid) makes group
+    # starts contiguous and partial lists ascending-id by construction.
     order = np.lexsort((zid, cell))
-    rows: list[tuple] = []
-    cur = None
-    fullmin: int | None = None
-    partials: list[tuple[int, int, int, int, int]] = []
-    for i in order:
-        c = int(cell[i])
-        if c != cur:
-            if cur is not None:
-                rows.append((cur, fullmin, partials))
-            cur, fullmin, partials = c, None, []
-        z = int(zid[i])
-        if full[i]:
-            fullmin = z if fullmin is None else min(fullmin, z)
-        else:
-            partials.append((z, *bounds[z]))
-    if cur is not None:
-        rows.append((cur, fullmin, partials))
-    return spark.createDataFrame(
+    c, z, f = cell[order], zid[order], full[order]
+    starts = (np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+              if len(c) else np.array([], np.int64))
+    uc = c[starts]
+    big = np.iinfo(np.int64).max
+    fullmin = np.minimum.reduceat(np.where(f, z, big), starts)
+    # partial lists: loop only the boundary rows (~perimeter cells), not the
+    # full covering — at the 10× budget the vast majority of cells are
+    # full-cover with an empty list
+    partials: dict[int, list] = {}
+    for i in np.flatnonzero(~f):
+        zi = int(z[i])
+        partials.setdefault(int(c[i]), []).append((zi, *bounds[zi]))
+    rows = [(int(uc[j]),
+             None if fullmin[j] == big else int(fullmin[j]),
+             partials.get(int(uc[j]), []))
+            for j in range(len(uc))]
+    df = spark.createDataFrame(
         rows,
         "z_cell long, z_fullmin long, z_partials array<struct<"
         "zid:long,lon0:long,lat0:long,lon1:long,lat1:long>>")
+    _DIM_CACHE[ckey] = df
+    return df
 
 
 def spatial_join_points(df: DataFrame, zones: list[Zone], key: str = "page_id",
