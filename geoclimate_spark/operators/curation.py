@@ -42,7 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60_col, hash60_sql
+from ..functions.hashing import (hash60_col, hash60_seeded_col,
+                                 hash60_seeded_sql, hash60_sql)
 
 
 # ------------------------------------------------------------------- packing
@@ -163,3 +164,59 @@ def domain_curation_sql(docs_rel: str, quality_sql: str, min_quality: float,
   WHERE {domain_sql} NOT IN ({inlist}) AND {quality_sql} >= {min_quality})
 SELECT doc_id, domain, quality, CAST(rank AS BIGINT) AS rank
 FROM kept WHERE rank <= {cap}"""
+
+
+# --------------------------------------------------------------- split gates
+def dataset_split(docs: DataFrame, train_bp: int = 8000, val_bp: int = 1000,
+                  seed: int = 7, id_col: str = "doc_id",
+                  stratum_col: str = "lang",
+                  size_col: str = "n_chars") -> DataFrame:
+    """Deterministic train/val/test assignment by seeded hash — the split
+    every training pipeline needs to be REPRODUCIBLE and leakage-free:
+    membership is a pure function of (seed, id), so re-runs, engines and
+    incremental snapshots agree, and no document migrates between splits
+    when the corpus grows (a row-number split would reshuffle everything).
+
+    ``hash60(seed:id) mod 10000`` lands in basis-point space:
+    ``[0, train_bp) = train``, ``[train_bp, train_bp+val_bp) = val``,
+    rest = test. Output is the per-(split, stratum) audit rollup
+    (doc/char counts + id range); the per-doc assignment is the same
+    expression inlined upstream of any consumer.
+
+    Scale: ONE hash aggregation over a scan projection (the split key is
+    computed per row, no join, no window) — map-side combine end to end.
+    """
+    did = F.col(id_col).cast("long")
+    part = F.pmod(hash60_seeded_col(seed, did.cast("string")), F.lit(10000))
+    split = (F.when(part < train_bp, F.lit("train"))
+             .when(part < train_bp + val_bp, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (docs.select(split.alias("split"),
+                        F.col(stratum_col).alias("stratum"),
+                        did.alias("_id"),
+                        F.col(size_col).cast("long").alias("_sz"))
+            .groupBy("split", "stratum")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_sz").alias("chars_total"),
+                 F.min("_id").alias("min_id"),
+                 F.max("_id").alias("max_id")))
+
+
+def dataset_split_sql(docs_rel: str, train_bp: int = 8000,
+                      val_bp: int = 1000, seed: int = 7,
+                      id_sql: str = "doc_id", stratum_sql: str = "lang",
+                      size_sql: str = "n_chars") -> str:
+    h = hash60_seeded_sql(seed,
+                          f"CAST(CAST({id_sql} AS BIGINT) AS VARCHAR)")
+    part = f"((({h}) % 10000) + 10000) % 10000"
+    return f"""WITH rows_in AS (
+  SELECT CASE WHEN {part} < {train_bp} THEN 'train'
+              WHEN {part} < {train_bp + val_bp} THEN 'val'
+              ELSE 'test' END AS split,
+         {stratum_sql} AS stratum, CAST({id_sql} AS BIGINT) AS _id,
+         CAST({size_sql} AS BIGINT) AS _sz
+  FROM {docs_rel})
+SELECT split, stratum, COUNT(*) AS n_docs,
+       CAST(SUM(_sz) AS BIGINT) AS chars_total,
+       MIN(_id) AS min_id, MAX(_id) AS max_id
+FROM rows_in GROUP BY split, stratum"""
