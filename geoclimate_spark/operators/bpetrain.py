@@ -30,12 +30,17 @@ Cross-engine exactness:
 
 Scale shape: ONE corpus-wide shuffle builds the (word, n) vocabulary;
 every training round then runs on the VOCABULARY frame (distinct words —
-bounded by language, not corpus size), so 8 rounds cost 8 tiny shuffles
-regardless of corpus scale. The chosen pair reaches the merge projection
-as a broadcast row through the column-derived constant-key join
-(:mod:`.kmeans` idiom — a literal key would constant-fold into a BNLJ).
-Each round's words frame is localCheckpoint'd to keep the plan O(1) in
-the round count.
+bounded by language, not corpus size). Per round the driver collects
+exactly TWO scalars — the argmax pair (one min-of-struct aggregate, no
+sort) and the post-merge token count — so driver traffic is
+O(n_merges), independent of corpus size; the winning pair is then
+inlined as literals in the merge projection (no join at all). This is
+the standard iterative-algorithm shape (MLlib trains the same way):
+scalar state on the driver, data-parallel work on the executors. Each
+round's words frame is localCheckpoint'd to keep the plan O(1) in the
+round count; two single-stage jobs per round replace the previous
+sort + broadcast-join + double-checkpoint design (4 jobs/round), which
+dominated wall time at small scale and saved nothing at large scale.
 """
 
 from __future__ import annotations
@@ -74,46 +79,40 @@ def _pair_counts(words: DataFrame) -> DataFrame:
             .agg(F.sum("n").alias("cnt")))
 
 
+_MERGE_SCHEMA = ("merge_round long, left_sym string, right_sym string, "
+                 "pair_count long, corpus_tokens long")
+
+
 def bpe_train(docs: DataFrame, n_merges: int = N_MERGES,
               text_col: str = "text") -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (merge_round, left_sym, right_sym, pair_count, corpus_tokens) where
     corpus_tokens is the weighted symbol count AFTER applying that merge —
     the curve a tokenizer trainer reports."""
+    spark = docs.sparkSession
     words = _word_counts(docs, text_col).localCheckpoint()
-    stats = []
+    stats: list[tuple] = []
     for rnd in range(1, n_merges + 1):
-        best = (_pair_counts(words)
-                .orderBy(F.col("cnt").desc(), F.col("l").asc(),
-                         F.col("r").asc())
-                .limit(1).localCheckpoint())
-        # broadcast the winning pair through a column-derived constant key
-        j = (words.withColumn("_one", F.pmod(F.col("n"), F.lit(1)))
-             .join(F.broadcast(best.withColumn(
-                 "_one", F.pmod(F.col("cnt"), F.lit(1)))), "_one"))
-        pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("r"),
-                       F.lit(" "))
-        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+        # argmax pair under (cnt DESC, l ASC, r ASC): min-of-struct over the
+        # grouped pair counts — a single-stage partial aggregate, no sort.
+        row = (_pair_counts(words)
+               .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                   F.col("l"), F.col("r"))).alias("b"))
+               .select("b.neg", "b.l", "b.r").first())
+        if row is None or row["l"] is None:
+            break  # vocabulary fully merged (or empty corpus)
+        l, r, cnt = row["l"], row["r"], -row["neg"]
+        pat = F.lit(f" {l} {r} ")
+        rep = F.lit(f" {l}{r} ")
         merged = F.col("w")
         for _ in range(REPLACE_PASSES):
             merged = F.replace(merged, pat, rep)
-        words = (j.select(merged.alias("w"), "n")).localCheckpoint()
-        toks = words.select(
+        words = words.select(merged.alias("w"), "n").localCheckpoint()
+        toks = words.agg(
             F.sum(F.col("n") * F.size(F.split(F.trim("w"), " ")))
-            .cast("long").alias("corpus_tokens"))
-        stats.append(
-            best.withColumn("_one", F.pmod(F.col("cnt"), F.lit(1)))
-            .join(F.broadcast(toks.withColumn(
-                "_one", F.pmod(F.col("corpus_tokens"), F.lit(1)))), "_one")
-            .select(F.lit(rnd).cast("long").alias("merge_round"),
-                    F.col("l").alias("left_sym"),
-                    F.col("r").alias("right_sym"),
-                    F.col("cnt").alias("pair_count"),
-                    "corpus_tokens"))
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out
+            .cast("long").alias("t")).first()["t"]
+        stats.append((rnd, l, r, int(cnt), int(toks)))
+    return spark.createDataFrame(stats, _MERGE_SCHEMA)
 
 
 # --------------------------------------------------------------- DuckDB dual
