@@ -45,7 +45,7 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
                                         dupspan, hashvec, kmeans, lmquality,
                                         mixture, segdedup, sprawl, urlnorm,
                                         vocab, winnow)
-from geoclimate_spark.operators import linear, outliers
+from geoclimate_spark.operators import dupweight, linear, outliers
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
@@ -129,6 +129,15 @@ def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkrank.host_pagerank(_docs(spark, sf_dir))
+
+
+def _q_host_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return linkrank.host_label_propagation(_docs(spark, sf_dir))
+
+
+def _q_dup_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dupweight.dup_weighted_budget(_docs(spark, sf_dir),
+                                         threshold=MINHASH_T)
 
 
 def _q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1739,6 +1748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": _q_lang_confusion,      # n-gram lang-ID (r4)
         "doc_top_terms": _q_doc_top_terms,           # tf·icf salience (r4)
         "host_pagerank": _q_host_pagerank,           # int fixed-point PR (r4)
+        "host_label_propagation": _q_host_label_prop,  # seed-vote LP (r4)
+        "dup_weighted_budget": _q_dup_weighted_budget,  # SemDeDup weights (r4)
         # -- block 1: engine/oracle changed in round 4 --
         "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
         "smbr_direction_distribution": _q_smbr_direction,  # calipers path (r4)
@@ -1990,6 +2001,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_confusion": langid.lang_confusion_sql(),
         "doc_top_terms": salience.doc_top_terms_sql(),
         "host_pagerank": linkrank.host_pagerank_sql(),
+        "host_label_propagation": linkrank.host_label_propagation_sql(),
+        "dup_weighted_budget": dupweight.dup_weighted_budget_sql(
+            threshold=MINHASH_T),
         "sketch_hll_distinct": sketch.hll_distinct_sql(
             _SKETCH_DOCS_SQL, "lang", "text"),
         "sketch_kmv_distinct": sketch.kmv_distinct_sql(

@@ -96,6 +96,103 @@ def host_pagerank(docs: DataFrame, host_col: str = "source",
                     "rank_int"))
 
 
+N_LABELS = 3
+SEED_MOD = 3   # hosts with hash60(host) % SEED_MOD == 0 are labeled seeds
+LP_ITER = 3
+
+
+def host_label_propagation(docs: DataFrame, host_col: str = "source",
+                           n_iter: int = LP_ITER) -> DataFrame:
+    """Semi-supervised label propagation over the synthesized host graph —
+    the host-category spreading pass a web-corpus curation pipeline runs to
+    extend a small seed taxonomy (manually labeled hosts) to the whole
+    crawl. Same fixture graph as :func:`host_pagerank`; different iteration
+    algebra (argmax vote vs damped sum).
+
+    Seeds: hosts with ``hash60(host) % SEED_MOD == 0`` hold the fixed label
+    ``hash60(host) % N_LABELS``. Each synchronous round, every non-seed
+    host takes the majority label of its labeled neighbors (undirected,
+    symmetrized edges), ties broken by smallest label; hosts with no
+    labeled neighbor keep their previous label (NULL until reached).
+
+    Exactness: votes are int64 counts and the winner is the min of
+    ``struct(-votes, label)`` — a total order, no floats anywhere, so the
+    k-round unrolled DuckDB dual replays bit-for-bit.
+
+    Scale shape per round: one equi-join of the label table to the
+    symmetrized edge list + one two-level groupBy — identical to the
+    distributed PageRank shape (2 shuffles/round, no Python)."""
+    hosts = (docs.where(F.col(host_col).isNotNull())
+             .select(F.col(host_col).alias("host")).distinct()
+             .localCheckpoint(True))
+    edges = synth_host_edges(docs, host_col).localCheckpoint(True)
+    sym = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .distinct().localCheckpoint(True))
+    h = hash60_col(F.col("host"))
+    lab = hosts.select(
+        "host",
+        (h % SEED_MOD == 0).cast("long").alias("is_seed"),
+        F.when(h % SEED_MOD == 0, h % N_LABELS)
+        .cast("long").alias("seed_label"),
+        F.when(h % SEED_MOD == 0, h % N_LABELS).cast("long").alias("label"))
+    for _ in range(n_iter):
+        votes = (sym.join(lab.where(F.col("label").isNotNull())
+                          .select(F.col("host").alias("dst"), "label"), "dst")
+                 .groupBy("src", "label")
+                 .agg(F.count("*").cast("long").alias("votes")))
+        winner = (votes.groupBy("src")
+                  .agg(F.min(F.struct((-F.col("votes")).alias("nv"),
+                                      F.col("label"))).alias("b"))
+                  .select(F.col("src").alias("host"),
+                          F.col("b.label").alias("new_label")))
+        lab = (lab.join(winner, "host", "left")
+               .select("host", "is_seed", "seed_label",
+                       F.when(F.col("is_seed") == 1, F.col("seed_label"))
+                       .otherwise(F.coalesce("new_label", "label"))
+                       .cast("long").alias("label")))
+    return lab
+
+
+def host_label_propagation_sql(doc_rel: str = "documents",
+                               host_col: str = "source",
+                               n_iter: int = LP_ITER) -> str:
+    key = hash60_sql("(a.host || '>' || b.host)")
+    h = hash60_sql("host")
+    ctes = [f"""hosts AS (SELECT DISTINCT {host_col} AS host FROM {doc_rel}
+          WHERE {host_col} IS NOT NULL),
+edges AS (SELECT a.host AS src, b.host AS dst
+          FROM hosts a JOIN hosts b ON a.host <> b.host
+          WHERE ({key}) % {EDGE_MOD} = 0),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+l0 AS (SELECT host,
+              CAST(CASE WHEN ({h}) % {SEED_MOD} = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS is_seed,
+              CAST(CASE WHEN ({h}) % {SEED_MOD} = 0
+                        THEN ({h}) % {N_LABELS} END AS BIGINT) AS seed_label,
+              CAST(CASE WHEN ({h}) % {SEED_MOD} = 0
+                        THEN ({h}) % {N_LABELS} END AS BIGINT) AS label
+       FROM hosts)"""]
+    for i in range(n_iter):
+        ctes.append(f"""v{i} AS (
+  SELECT s.src AS host, l.label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM sym s JOIN l{i} l ON s.dst = l.host
+  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+w{i} AS (SELECT host, label AS new_label FROM (
+  SELECT host, label,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY votes DESC, label ASC) AS rn
+  FROM v{i}) WHERE rn = 1),
+l{i + 1} AS (
+  SELECT l.host, l.is_seed, l.seed_label,
+         CAST(CASE WHEN l.is_seed = 1 THEN l.seed_label
+                   ELSE COALESCE(w.new_label, l.label) END AS BIGINT) AS label
+  FROM l{i} l LEFT JOIN w{i} w ON l.host = w.host)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT host, is_seed, seed_label, label FROM l{n_iter}")
+
+
 def host_pagerank_sql(doc_rel: str = "documents", host_col: str = "source",
                       n_iter: int = N_ITER) -> str:
     key = hash60_sql("(a.host || '>' || b.host)")
