@@ -45,6 +45,7 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
                                         dupspan, hashvec, kmeans, lmquality,
                                         mixture, segdedup, sprawl, urlnorm,
                                         vocab, winnow)
+from geoclimate_spark.operators import boilerplate as boiler_op
 from geoclimate_spark.operators import dupweight, linear, outliers
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
@@ -736,6 +737,17 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     text hash-gated."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pii.scrub_pii(pii.with_synthetic_pii(docs))
+
+
+def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host line-level boilerplate strip (r4): synthetic host chrome
+    (header/footer 100%, banner ~50%, promo ~2%) injected deterministically,
+    then stripped by the integer >=30%-of-host-docs rule; the reassembled
+    clean text is hash-gated (clean_md5). Shuffle carries hash60(line), not
+    text; per-host doc counts broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boiler_op.remove_boilerplate(
+        boiler_op.with_synthetic_boilerplate(docs))
 
 
 def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1729,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,  # applyInPandasWithState (r4)
         "ann_topk_ivf_pq": _q_ann_ivf_pq,  # product-quantized ADC + rerank (r4)
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
+        "boilerplate_removal": _q_boilerplate_removal,  # host line-freq strip (r4)
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
@@ -2086,6 +2099,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "page_raster_value": _page_raster_oracle_sql(),
         "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(ANN_QUERY_IDS, ANN_K),
         "pii_scrub": pii.scrub_pii_sql(),
+        "boilerplate_removal": boiler_op.boilerplate_removal_sql(),
         "ann_topk_bruteforce": similarity.cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_ivf": similarity.ivf_topk_sql(ANN_QUERY_IDS, ANN_K),
