@@ -46,6 +46,7 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
                                         mixture, segdedup, sprawl, urlnorm,
                                         vocab, winnow)
 from geoclimate_spark.operators import boilerplate as boiler_op
+from geoclimate_spark.operators import links as links_op
 from geoclimate_spark.operators import dupweight, linear, outliers
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
@@ -748,6 +749,17 @@ def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return boiler_op.remove_boilerplate(
         boiler_op.with_synthetic_boilerplate(docs))
+
+
+def _q_anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph edge extraction (r4): anchors parsed out of synthetic html
+    BYTES (decode -> nav isolation -> regexp_extract_all -> href/host
+    split, all codegen) and rolled up per target host; the oracle replays
+    the deterministic link generator with no html, so any parse slip
+    breaks the gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return links_op.anchor_rollup(
+        links_op.extract_links(links_op.with_synthetic_links(docs)))
 
 
 def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1742,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_pq": _q_ann_ivf_pq,  # product-quantized ADC + rerank (r4)
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
         "boilerplate_removal": _q_boilerplate_removal,  # host line-freq strip (r4)
+        "anchor_text_rollup": _q_anchor_text_rollup,  # href parse + host agg (r4)
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
@@ -2100,6 +2113,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(ANN_QUERY_IDS, ANN_K),
         "pii_scrub": pii.scrub_pii_sql(),
         "boilerplate_removal": boiler_op.boilerplate_removal_sql(),
+        "anchor_text_rollup": links_op.anchor_rollup_sql(),
         "ann_topk_bruteforce": similarity.cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_ivf": similarity.ivf_topk_sql(ANN_QUERY_IDS, ANN_K),
