@@ -47,6 +47,7 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
                                         vocab, winnow)
 from geoclimate_spark.operators import boilerplate as boiler_op
 from geoclimate_spark.operators import links as links_op
+from geoclimate_spark.operators import robots as robots_op
 from geoclimate_spark.operators import dupweight, linear, outliers
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
@@ -760,6 +761,17 @@ def _q_anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return links_op.anchor_rollup(
         links_op.extract_links(links_op.with_synthetic_links(docs)))
+
+
+def _q_robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-rule URL filtering (r4): most-specific-match join — each URL
+    equi-joins its host's rule set (broadcast dim), prefix-matches in
+    codegen, and a per-URL struct-argmin over (-prefix_len, rule_id) picks
+    the winner; allow carve-outs under deny prefixes and the no-match
+    default branch are both exercised by the fixture."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return robots_op.robots_verdicts(robots_op.synth_candidates(docs),
+                                     robots_op.synth_rules(spark))
 
 
 def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1755,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
         "boilerplate_removal": _q_boilerplate_removal,  # host line-freq strip (r4)
         "anchor_text_rollup": _q_anchor_text_rollup,  # href parse + host agg (r4)
+        "robots_url_filter": _q_robots_url_filter,  # longest-prefix match (r4)
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
@@ -2114,6 +2127,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "pii_scrub": pii.scrub_pii_sql(),
         "boilerplate_removal": boiler_op.boilerplate_removal_sql(),
         "anchor_text_rollup": links_op.anchor_rollup_sql(),
+        "robots_url_filter": robots_op.robots_verdicts_sql(),
         "ann_topk_bruteforce": similarity.cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_lsh": similarity.lsh_topk_sql(ANN_QUERY_IDS, ANN_K),
         "ann_topk_ivf": similarity.ivf_topk_sql(ANN_QUERY_IDS, ANN_K),
