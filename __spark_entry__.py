@@ -48,7 +48,7 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
 from geoclimate_spark.operators import boilerplate as boiler_op
 from geoclimate_spark.operators import links as links_op
 from geoclimate_spark.operators import robots as robots_op
-from geoclimate_spark.operators import dupweight, linear, outliers
+from geoclimate_spark.operators import dupweight, linear, outliers, pplbucket
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
@@ -562,6 +562,14 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer surprisal bits (floor-log2 via bin()-length — no libm), kept
     under a literal threshold."""
     return lmquality.lm_quality_scores(_docs(spark, sf_dir))
+
+
+def _q_ppl_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-lang docs ordered by the exact int64
+    mean-surprisal key, cut into three equal-char-mass buckets; the
+    per-lang cumulative char sum runs (lang, ppl-bucket)-decomposed (the
+    vocab.py algebra) while the oracle uses the naive global window."""
+    return pplbucket.ppl_tercile_assignments(_docs(spark, sf_dir))
 
 
 def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1752,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _q_ann_recall_report,      # in-engine recall metric (r4)
         "bpe_train_merges": _q_bpe_train,               # BPE merge training (r4)
         "bm25_search": _q_bm25_search,                  # BM25 top-k retrieval (r4)
+        "ppl_lang_terciles": _q_ppl_terciles,           # CCNet head/mid/tail (r4)
         "lm_quality_scores": _q_lm_quality,             # bigram-LM ppl filter (r4)
         "winnow_fingerprints": _q_winnow_fingerprints,  # rolling-hash winnowing (r4)
         "winnow_dup_pairs": _q_winnow_dup_pairs,        # MOSS overlap pairs (r4)
@@ -2005,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_report": _ann_recall_report_sql(),
         "bpe_train_merges": bpetrain.bpe_train_sql(),
         "bm25_search": bm25.bm25_topk_sql(BM25_QUERIES),
+        "ppl_lang_terciles": pplbucket.ppl_tercile_sql(),
         "lm_quality_scores": lmquality.lm_quality_sql(),
         "winnow_fingerprints": winnow.winnow_fingerprints_sql(),
         "winnow_dup_pairs": winnow.winnow_dup_pairs_sql(),

@@ -342,3 +342,25 @@ def test_semantic_contamination_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_ppl_tercile_plan_decomposed_window(spark):
+    """ppl_lang_terciles: the per-lang cumulative char sum must run as the
+    (lang, pb)-decomposed pair of windows — the tiny offsets window plus a
+    within-(lang, pb)-partitioned running sum — never a single
+    partitionBy(lang)-only running-sum window over the full doc table
+    (one fat task per language at corpus scale). Offsets attach via
+    BroadcastHashJoin; pure JVM."""
+    import re
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["ppl_lang_terciles"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
+    # every running-sum window partitions by (lang, _pb), not lang alone
+    runs = re.findall(r"RunningWindowFunction.*|Window \[sum[^\n]*", plan)
+    assert runs, plan[:800]
+    for w in runs:
+        if "unboundedpreceding" in w and "currentrow$" in w:
+            assert "_pb" in w, w
