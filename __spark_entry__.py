@@ -48,7 +48,8 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
 from geoclimate_spark.operators import boilerplate as boiler_op
 from geoclimate_spark.operators import links as links_op
 from geoclimate_spark.operators import robots as robots_op
-from geoclimate_spark.operators import dupweight, linear, outliers, pplbucket
+from geoclimate_spark.operators import (dupweight, linear, outliers, pplbucket,
+                                        qualityrules)
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
@@ -747,6 +748,23 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     text hash-gated."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pii.scrub_pii(pii.with_synthetic_pii(docs))
+
+
+def _q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality ruleset (r4): word-count / mean-word-length / symbol /
+    bullet / ellipsis / alpha-word / stopword rules as per-rule flags plus
+    the AND, over a deterministic doc_id-derived multi-line page (the
+    single-line fixture exercises no line rules). Pure codegen projection;
+    every count and integer cross-multiplication is hash-gated."""
+    return qualityrules.gopher_flags(_docs(spark, sf_dir))
+
+
+def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filter (r4): keep terminal-punctuation lines with enough
+    words and no javascript mention; drop lorem-ipsum / curly-brace docs
+    and docs with too few surviving lines. Reassembled clean text is
+    md5-fingerprinted, so the line-filter path itself is hash-gated."""
+    return qualityrules.c4_line_filter(_docs(spark, sf_dir))
 
 
 def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1774,6 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,  # applyInPandasWithState (r4)
         "ann_topk_ivf_pq": _q_ann_ivf_pq,  # product-quantized ADC + rerank (r4)
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
+        "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
+        "c4_line_filter": _q_c4_line_filter,              # C4 cleaning (r4)
         "boilerplate_removal": _q_boilerplate_removal,  # host line-freq strip (r4)
         "anchor_text_rollup": _q_anchor_text_rollup,  # href parse + host agg (r4)
         "robots_url_filter": _q_robots_url_filter,  # longest-prefix match (r4)
@@ -2135,6 +2155,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "page_raster_value": _page_raster_oracle_sql(),
         "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(ANN_QUERY_IDS, ANN_K),
         "pii_scrub": pii.scrub_pii_sql(),
+        "gopher_quality_flags": qualityrules.gopher_flags_sql(),
+        "c4_line_filter": qualityrules.c4_line_filter_sql(),
         "boilerplate_removal": boiler_op.boilerplate_removal_sql(),
         "anchor_text_rollup": links_op.anchor_rollup_sql(),
         "robots_url_filter": robots_op.robots_verdicts_sql(),
