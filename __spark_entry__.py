@@ -48,8 +48,8 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
 from geoclimate_spark.operators import boilerplate as boiler_op
 from geoclimate_spark.operators import links as links_op
 from geoclimate_spark.operators import robots as robots_op
-from geoclimate_spark.operators import (dupweight, linear, outliers, pplbucket,
-                                        qualityrules)
+from geoclimate_spark.operators import (dsir, dupweight, linear, outliers,
+                                        pplbucket, qualityrules)
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
@@ -765,6 +765,15 @@ def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and docs with too few surviving lines. Reassembled clean text is
     md5-fingerprinted, so the line-filter path itself is hash-gated."""
     return qualityrules.c4_line_filter(_docs(spark, sf_dir))
+
+
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR targeted selection (r4): hashed unigram+bigram bucket models
+    for the deterministic target slice vs the raw pool, per-doc
+    integer-bits importance = sum of (raw − target) bucket surprisals,
+    threshold selection. NB-row weight dim broadcasts; scoring is ONE
+    map-side-combinable groupBy(doc)."""
+    return dsir.dsir_importance(_docs(spark, sf_dir))
 
 
 def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1794,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
         "c4_line_filter": _q_c4_line_filter,              # C4 cleaning (r4)
+        "dsir_importance": _q_dsir_importance,            # DSIR selection (r4)
         "boilerplate_removal": _q_boilerplate_removal,  # host line-freq strip (r4)
         "anchor_text_rollup": _q_anchor_text_rollup,  # href parse + host agg (r4)
         "robots_url_filter": _q_robots_url_filter,  # longest-prefix match (r4)
@@ -2157,6 +2167,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "pii_scrub": pii.scrub_pii_sql(),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),
         "c4_line_filter": qualityrules.c4_line_filter_sql(),
+        "dsir_importance": dsir.dsir_importance_sql(),
         "boilerplate_removal": boiler_op.boilerplate_removal_sql(),
         "anchor_text_rollup": links_op.anchor_rollup_sql(),
         "robots_url_filter": robots_op.robots_verdicts_sql(),
