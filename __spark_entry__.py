@@ -48,8 +48,8 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
 from geoclimate_spark.operators import boilerplate as boiler_op
 from geoclimate_spark.operators import links as links_op
 from geoclimate_spark.operators import robots as robots_op
-from geoclimate_spark.operators import (dsir, dupweight, linear, outliers,
-                                        pplbucket, qualityrules)
+from geoclimate_spark.operators import (dsir, dupweight, linear, mojibake,
+                                        outliers, pplbucket, qualityrules)
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
@@ -139,6 +139,13 @@ def _q_host_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkrank.host_label_propagation(_docs(spark, sf_dir))
 
 
+def _q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS hubs/authorities (r4): max-normalized Kleinberg
+    iterations in int64 fixed-point over the synthesized host graph; the
+    oracle unrolls the same k rounds as CTEs."""
+    return linkrank.host_hits(_docs(spark, sf_dir))
+
+
 def _q_dup_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dupweight.dup_weighted_budget(_docs(spark, sf_dir),
                                          threshold=MINHASH_T)
@@ -154,6 +161,13 @@ def _q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_heavy_hitters(_docs(spark, sf_dir), "source")
+
+
+def _q_sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch (r4): one
+    map-side-combinable groupBy per group; estimates within one bin width
+    of exact (pytest-proven), integer interpolation hash-gated."""
+    return sketch.histogram_quantiles(_docs(spark, sf_dir), "lang", "n_chars")
 
 
 BLOOM_BAN_MOD = 23
@@ -765,6 +779,14 @@ def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and docs with too few surviving lines. Reassembled clean text is
     md5-fingerprinted, so the line-filter path itself is hash-gated."""
     return qualityrules.c4_line_filter(_docs(spark, sf_dir))
+
+
+def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact repair (r4): cp1252 double-encoding confusion
+    table (curly quotes, accents, NBSP) counted with regexp_count and
+    repaired with chained replaces over a deterministically corrupted
+    page; repaired text md5 makes the path hash-gated. Pure codegen."""
+    return mojibake.repair_mojibake(_docs(spark, sf_dir))
 
 
 def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1804,12 +1826,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
         "c4_line_filter": _q_c4_line_filter,              # C4 cleaning (r4)
         "dsir_importance": _q_dsir_importance,            # DSIR selection (r4)
+        "mojibake_repair": _q_mojibake_repair,            # ftfy-style fix (r4)
         "boilerplate_removal": _q_boilerplate_removal,  # host line-freq strip (r4)
         "anchor_text_rollup": _q_anchor_text_rollup,  # href parse + host agg (r4)
         "robots_url_filter": _q_robots_url_filter,  # longest-prefix match (r4)
         "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
         "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
         "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
+        "sketch_hist_quantiles": _q_sketch_hist_quantiles,  # 1-bin-err qtiles
         "kmeans_clusters": _q_kmeans_clusters,        # in-engine training (r4)
         "ann_topk_ivf_trained": _q_ann_ivf_trained,   # train→index→serve (r4)
         "curation_pipeline_e2e": _q_curation_pipeline_e2e,  # composed chain (r4)
@@ -1827,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": _q_doc_top_terms,           # tf·icf salience (r4)
         "host_pagerank": _q_host_pagerank,           # int fixed-point PR (r4)
         "host_label_propagation": _q_host_label_prop,  # seed-vote LP (r4)
+        "host_hits": _q_host_hits,                   # int HITS hubs/auth (r4)
         "dup_weighted_budget": _q_dup_weighted_budget,  # SemDeDup weights (r4)
         # -- block 1: engine/oracle changed in round 4 --
         "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
@@ -2081,6 +2106,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": salience.doc_top_terms_sql(),
         "host_pagerank": linkrank.host_pagerank_sql(),
         "host_label_propagation": linkrank.host_label_propagation_sql(),
+        "host_hits": linkrank.host_hits_sql(),
         "dup_weighted_budget": dupweight.dup_weighted_budget_sql(
             threshold=MINHASH_T),
         "sketch_hll_distinct": sketch.hll_distinct_sql(
@@ -2089,6 +2115,8 @@ def oracle_sql() -> dict[str, str]:
             _SKETCH_DOCS_SQL, "lang", "text"),
         "sketch_cms_heavy_hitters": sketch.cms_heavy_hitters_sql(
             _SKETCH_DOCS_SQL, "source"),
+        "sketch_hist_quantiles": sketch.histogram_quantiles_sql(
+            "SELECT doc_id, lang, n_chars FROM documents", "lang", "n_chars"),
         "wkb_zone_layer_cover": polygon_overlay.layer_cover_sql(
             polygon_overlay.convex_pair_areas_sql(
                 layers.poly_zone_vertices_values_sql(),
@@ -2168,6 +2196,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),
         "c4_line_filter": qualityrules.c4_line_filter_sql(),
         "dsir_importance": dsir.dsir_importance_sql(),
+        "mojibake_repair": mojibake.repair_mojibake_sql(),
         "boilerplate_removal": boiler_op.boilerplate_removal_sql(),
         "anchor_text_rollup": links_op.anchor_rollup_sql(),
         "robots_url_filter": robots_op.robots_verdicts_sql(),

@@ -261,3 +261,77 @@ probes AS ({probe_rows})
 SELECT p.{item}, p.n_exact, CAST(MIN(c._n) AS BIGINT) AS n_cms
 FROM probes p JOIN cells c ON p._row = c._row AND p._col = c._col
 GROUP BY 1, 2"""
+
+
+# ------------------------------------------------- histogram quantile sketch
+# The mergeable counterpart of zonal.exact_quantiles: an equi-width
+# histogram per group is FIXED-SIZE, merges by adding bin counts (map-side
+# combine does it), and answers any quantile to within one bin width —
+# the one-pass sketch a 100-TB profiler runs where the exact path's
+# full per-group sort shuffle is not worth it. Estimate rule (all exact
+# int64, so the DuckDB dual replays bit-for-bit): target rank
+# r = ceil(pct·N/100); winner = first bin whose inclusive cumulative count
+# reaches r; estimate = bin_lo + ((r − cum_before) · W) div bin_count —
+# linear interpolation inside the winning bin, error < W by construction
+# (pytest-asserted against the exact quantile).
+HIST_BIN_W = 32
+HIST_PCTS = (25, 50, 75, 95)
+
+
+def histogram_quantiles(df: DataFrame, group: str, value: str,
+                        bin_w: int = HIST_BIN_W,
+                        pcts: tuple = HIST_PCTS) -> DataFrame:
+    """Per-group sketched quantiles: (group, pct, n, est). ONE
+    map-side-combinable groupBy builds the histogram; the cumulative
+    window runs over ≤ range/bin_w bins per group, not rows."""
+    bins = (df.where(F.col(value).isNotNull())
+            .groupBy(group, F.expr(f"{value} div {bin_w}").alias("_bin"))
+            .agg(F.count("*").cast("long").alias("_cnt")))
+    w = Window.partitionBy(group).orderBy("_bin")
+    bins = (bins
+            .withColumn("_cum", F.sum("_cnt").over(w).cast("long"))
+            .withColumn("_n", F.sum("_cnt").over(
+                Window.partitionBy(group)).cast("long")))
+    pct = F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct")
+    cand = (bins.select(group, "_bin", "_cnt", "_cum", "_n", pct)
+            .withColumn("_r", F.expr("(pct * _n + 99) div 100"))
+            .where(F.col("_cum") >= F.col("_r")))
+    return (cand.groupBy(group, "pct")
+            .agg(F.min(F.struct("_bin", "_cnt", "_cum", "_n", "_r"))
+                 .alias("_b"))
+            .selectExpr(group, "CAST(pct AS BIGINT) AS pct",
+                        "_b._n AS n",
+                        f"CAST(_b._bin * {bin_w} + ((_b._r - (_b._cum - _b._cnt))"
+                        f" * {bin_w}) div _b._cnt AS BIGINT) AS est"))
+
+
+def histogram_quantiles_sql(table_sql: str, group: str, value: str,
+                            bin_w: int = HIST_BIN_W,
+                            pcts: tuple = HIST_PCTS) -> str:
+    """DuckDB dual of :func:`histogram_quantiles`."""
+    pct_rows = " UNION ALL ".join(f"SELECT {p} AS pct" for p in pcts)
+    return f"""WITH src AS ({table_sql}),
+bins AS (
+  SELECT {group}, {value} // {bin_w} AS _bin,
+         CAST(COUNT(*) AS BIGINT) AS _cnt
+  FROM src WHERE {value} IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT {group}, _bin, _cnt,
+         CAST(SUM(_cnt) OVER (PARTITION BY {group} ORDER BY _bin)
+              AS BIGINT) AS _cum,
+         CAST(SUM(_cnt) OVER (PARTITION BY {group}) AS BIGINT) AS _n
+  FROM bins),
+pcts AS ({pct_rows}),
+cand AS (
+  SELECT c.*, p.pct, (p.pct * c._n + 99) // 100 AS _r
+  FROM cum c CROSS JOIN pcts p
+  WHERE c._cum >= (p.pct * c._n + 99) // 100),
+win AS (
+  SELECT {group}, pct, _n, _bin, _cnt, _cum, _r,
+         ROW_NUMBER() OVER (PARTITION BY {group}, pct
+                            ORDER BY _bin ASC) AS _rn
+  FROM cand)
+SELECT {group}, CAST(pct AS BIGINT) AS pct, _n AS n,
+       CAST(_bin * {bin_w} + ((_r - (_cum - _cnt)) * {bin_w}) // _cnt
+            AS BIGINT) AS est
+FROM win WHERE _rn = 1"""
