@@ -48,8 +48,9 @@ from geoclimate_spark.operators import (bloom, bm25, bpeencode, bpetrain,
 from geoclimate_spark.operators import boilerplate as boiler_op
 from geoclimate_spark.operators import links as links_op
 from geoclimate_spark.operators import robots as robots_op
-from geoclimate_spark.operators import (dsir, dupweight, linear, mojibake,
-                                        outliers, pplbucket, qualityrules)
+from geoclimate_spark.operators import (colloc, dsir, dupweight, linear,
+                                        mojibake, outliers, pplbucket,
+                                        qualityrules, shardplan)
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
@@ -478,6 +479,27 @@ def _q_token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer) vs basis-point target shares of a fixed token budget →
     epochs/oversampling per slice. One partial-agg shuffle on lang."""
     return mixture.mixture_plan(spark, _docs(spark, sf_dir))
+
+
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature sampling plan (r4): per-lang budget ∝
+    isqrt(char mass) (exact ±1-corrected integer sqrt), largest-remainder
+    apportionment summing exactly to the budget. Constant-size windows."""
+    return mixture.temperature_mixture(_docs(spark, sf_dir))
+
+
+def _q_export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced export sharding (r4): global (size DESC, id) rank via
+    the vocab.py two-level exact decomposition, sorted round-robin deal;
+    oracle = the naive global ROW_NUMBER window."""
+    return shardplan.export_shard_plan(_docs(spark, sf_dir))
+
+
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (r4): adjacent-pair likelihood ratio as ONE
+    exact 2^10-scaled int64 (log-free ranking), min-count cut, total-order
+    top-k. Two map-side-combinable groupBys + constant-key totals."""
+    return colloc.pmi_collocations(_docs(spark, sf_dir))
 
 
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1795,6 +1817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 0: NEW in round 4 (never driver-verified) --
         "bpe_encode_tokens": _q_bpe_encode,             # tokenizer apply (r4)
         "token_mixture_plan": _q_token_mixture_plan,    # mixture planner (r4)
+        "temperature_mixture": _q_temperature_mixture,  # alpha=1/2 plan (r4)
+        "export_shard_plan": _q_export_shard_plan,      # balanced shards (r4)
+        "pmi_collocations": _q_pmi_collocations,        # phrase mining (r4)
         "snapshot_diff": _q_snapshot_diff,              # Iceberg-style diff (r4)
         "dedup_containment": _q_dedup_containment,      # quote inclusion (r4)
         "embedding_outliers": _q_embedding_outliers,    # semantic gate (r4)
@@ -2054,6 +2079,9 @@ def oracle_sql() -> dict[str, str]:
         # -- round 4 --
         "bpe_encode_tokens": bpeencode.bpe_encode_sql(),
         "token_mixture_plan": mixture.mixture_plan_sql(),
+        "temperature_mixture": mixture.temperature_mixture_sql(),
+        "export_shard_plan": shardplan.export_shard_plan_sql(),
+        "pmi_collocations": colloc.pmi_collocations_sql(),
         "snapshot_diff": snapshot_op.snapshot_diff_sql(_crawl_history_sql()),
         "dedup_containment": dedup.containment_sql(max_df=NGRAM_MAX_DF),
         "embedding_outliers": outliers.embedding_outliers_sql(),

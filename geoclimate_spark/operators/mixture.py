@@ -99,3 +99,78 @@ SELECT {group}, n_docs, avail_tokens, share_bp, target_tokens,
        CAST((target_tokens + avail_tokens - 1) // avail_tokens * avail_tokens
             - target_tokens AS BIGINT) AS deficit_tokens
 FROM planned"""
+
+
+# ----------------------------------------- temperature-scaled sampling plan
+# The mT5/XLM-R alternative to frozen target shares: sample slice l with
+# probability ∝ (size_l)^alpha, alpha = 1/2 here — upweights tail languages
+# without drowning the head. Exactness: n^(1/2) is isqrt, computed as
+# floor(sqrt(double)) then CORRECTED by one step in each direction —
+# for n < 2^52 the double sqrt is within 0.5 ulp so the true isqrt is
+# within ±1 of the floored double, and the correction makes the result
+# EXACT in both engines regardless of their libm rounding. The budget is
+# then apportioned by the same largest-remainder rule as
+# :func:`mixture_plan`'s tests (Σ target == budget, ties by slice name).
+# All windows run over the ≤|slices|-row rollup — constant-size state.
+
+
+def _isqrt_sql(x: str) -> str:
+    s = f"CAST(FLOOR(SQRT(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return (f"({s} + (CASE WHEN ({s} + 1) * ({s} + 1) <= {x} THEN 1 ELSE 0 END)"
+            f" - (CASE WHEN {s} * {s} > {x} THEN 1 ELSE 0 END))")
+
+
+def temperature_mixture(docs: DataFrame, budget: int = TOKEN_BUDGET,
+                        group: str = "lang",
+                        size_col: str = "n_chars") -> DataFrame:
+    """(lang, n_docs, avail_chars, weight, target_tokens): per-slice budget
+    ∝ isqrt(avail_chars), exact largest-remainder apportionment."""
+    from pyspark.sql import Window
+    rolled = (docs.groupBy(group)
+              .agg(F.count("*").cast("long").alias("n_docs"),
+                   F.sum(size_col).cast("long").alias("avail_chars"))
+              .withColumn("weight",
+                          F.expr(_isqrt_sql("avail_chars")).cast("long")))
+    w_all = Window.partitionBy()          # ≤ |slices| rows — constant size
+    b = int(budget)
+    rolled = (rolled
+              .withColumn("_tw", F.sum("weight").over(w_all))
+              .withColumn("_base", F.expr(f"(weight * {b}) div _tw"))
+              .withColumn("_rem", F.expr(f"(weight * {b}) % _tw"))
+              .withColumn("_extra_n", F.expr(f"{b} - sum(_base) over ()"))
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy().orderBy(
+                      F.col("_rem").desc(), F.col(group).asc()))))
+    return rolled.select(
+        group, "n_docs", "avail_chars", "weight",
+        (F.col("_base") + (F.col("_rk") <= F.col("_extra_n")).cast("long"))
+        .cast("long").alias("target_tokens"))
+
+
+def temperature_mixture_sql(budget: int = TOKEN_BUDGET,
+                            doc_rel: str = "documents", group: str = "lang",
+                            size_col: str = "n_chars") -> str:
+    """DuckDB dual of :func:`temperature_mixture`."""
+    b = int(budget)
+    return f"""WITH rolled AS (
+  SELECT {group}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({size_col}) AS BIGINT) AS avail_chars
+  FROM {doc_rel} GROUP BY 1),
+weighted AS (
+  SELECT *, CAST({_isqrt_sql("avail_chars")} AS BIGINT) AS weight
+  FROM rolled),
+apportioned AS (
+  SELECT *,
+         SUM(weight) OVER () AS _tw,
+         (weight * {b}) // SUM(weight) OVER () AS _base,
+         (weight * {b}) % SUM(weight) OVER () AS _rem
+  FROM weighted),
+ranked AS (
+  SELECT *,
+         {b} - SUM(_base) OVER () AS _extra_n,
+         ROW_NUMBER() OVER (ORDER BY _rem DESC, {group} ASC) AS _rk
+  FROM apportioned)
+SELECT {group}, n_docs, avail_chars, weight,
+       CAST(_base + (CASE WHEN _rk <= _extra_n THEN 1 ELSE 0 END)
+            AS BIGINT) AS target_tokens
+FROM ranked"""
