@@ -50,7 +50,7 @@ from geoclimate_spark.operators import links as links_op
 from geoclimate_spark.operators import robots as robots_op
 from geoclimate_spark.operators import (colloc, dsir, dupweight, linear,
                                         mojibake, outliers, pplbucket,
-                                        qualityrules, shardplan)
+                                        qualityrules, readability, shardplan)
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
@@ -479,6 +479,20 @@ def _q_token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer) vs basis-point target shares of a fixed token budget →
     epochs/oversampling per slice. One partial-agg shuffle on lang."""
     return mixture.mixture_plan(spark, _docs(spark, sf_dir))
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability + lexical diversity (r4): integer-floored Flesch
+    surrogate (milli-scaled) and type-token ratio over the derived
+    multi-line page. Pure codegen projection."""
+    return readability.readability_metrics(_docs(spark, sf_dir))
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit (r4): MinHash-LSH near-dup pairs whose two
+    sides land in different dataset splits (split is a pure hash function
+    of id — attached as an expression, no join beyond the dedup pass)."""
+    return curation.split_leakage(_docs(spark, sf_dir), threshold=MINHASH_T)
 
 
 def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1818,6 +1832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_tokens": _q_bpe_encode,             # tokenizer apply (r4)
         "token_mixture_plan": _q_token_mixture_plan,    # mixture planner (r4)
         "temperature_mixture": _q_temperature_mixture,  # alpha=1/2 plan (r4)
+        "split_leakage_pairs": _q_split_leakage,        # cross-split dups (r4)
+        "readability_metrics": _q_readability,          # Flesch + TTR (r4)
         "export_shard_plan": _q_export_shard_plan,      # balanced shards (r4)
         "pmi_collocations": _q_pmi_collocations,        # phrase mining (r4)
         "snapshot_diff": _q_snapshot_diff,              # Iceberg-style diff (r4)
@@ -2080,6 +2096,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_tokens": bpeencode.bpe_encode_sql(),
         "token_mixture_plan": mixture.mixture_plan_sql(),
         "temperature_mixture": mixture.temperature_mixture_sql(),
+        "split_leakage_pairs": curation.split_leakage_sql(
+            threshold=MINHASH_T),
+        "readability_metrics": readability.readability_metrics_sql(),
         "export_shard_plan": shardplan.export_shard_plan_sql(),
         "pmi_collocations": colloc.pmi_collocations_sql(),
         "snapshot_diff": snapshot_op.snapshot_diff_sql(_crawl_history_sql()),

@@ -220,3 +220,60 @@ SELECT split, stratum, COUNT(*) AS n_docs,
        CAST(SUM(_sz) AS BIGINT) AS chars_total,
        MIN(_id) AS min_id, MAX(_id) AS max_id
 FROM rows_in GROUP BY split, stratum"""
+
+
+# ------------------------------------------------------- split-leakage check
+# The audit every pipeline should run and few do: near-duplicate pairs that
+# STRADDLE a dataset-split boundary are evaluation leakage (the val/test
+# doc has a train-side twin). Composes the MinHash-LSH near-dup pairs with
+# the same pure-function split rule as :func:`dataset_split` — the split of
+# an id is an expression, so attaching it to both pair sides is free (no
+# join); the only work is the dedup pass itself.
+
+
+def _split_expr_col(idc, train_bp: int = 8000, val_bp: int = 1000,
+                    seed: int = 7):
+    part = F.pmod(hash60_seeded_col(seed, idc.cast("long").cast("string")),
+                  F.lit(10000))
+    return (F.when(part < train_bp, F.lit("train"))
+            .when(part < train_bp + val_bp, F.lit("val"))
+            .otherwise(F.lit("test")))
+
+
+def _split_case_sql(id_sql: str, train_bp: int = 8000, val_bp: int = 1000,
+                    seed: int = 7) -> str:
+    h = hash60_seeded_sql(seed, f"CAST(CAST({id_sql} AS BIGINT) AS VARCHAR)")
+    part = f"((({h}) % 10000) + 10000) % 10000"
+    return (f"CASE WHEN {part} < {train_bp} THEN 'train' "
+            f"WHEN {part} < {train_bp + val_bp} THEN 'val' "
+            f"ELSE 'test' END")
+
+
+def split_leakage(docs: DataFrame, threshold: float = 0.8,
+                  train_bp: int = 8000, val_bp: int = 1000, seed: int = 7,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cross-split near-duplicate pairs:
+    (id_a, id_b, split_a, split_b, jaccard) where split_a != split_b."""
+    from . import dedup
+    pairs = dedup.minhash_near_duplicates(docs, threshold,
+                                          id_col=id_col, text_col=text_col)
+    return (pairs
+            .withColumn("split_a", _split_expr_col(F.col("id_a"),
+                                                   train_bp, val_bp, seed))
+            .withColumn("split_b", _split_expr_col(F.col("id_b"),
+                                                   train_bp, val_bp, seed))
+            .where(F.col("split_a") != F.col("split_b"))
+            .select("id_a", "id_b", "split_a", "split_b", "jaccard"))
+
+
+def split_leakage_sql(threshold: float = 0.8, doc_rel: str = "documents",
+                      train_bp: int = 8000, val_bp: int = 1000,
+                      seed: int = 7, id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """DuckDB dual: the minhash pair query nested as a derived table."""
+    from . import dedup
+    inner = dedup.minhash_lsh_sql(threshold, doc_rel, id_col, text_col)
+    sa = _split_case_sql("id_a", train_bp, val_bp, seed)
+    sb = _split_case_sql("id_b", train_bp, val_bp, seed)
+    return f"""SELECT id_a, id_b, {sa} AS split_a, {sb} AS split_b, jaccard
+FROM ({inner}) WHERE ({sa}) <> ({sb})"""
