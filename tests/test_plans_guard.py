@@ -364,3 +364,23 @@ def test_ppl_tercile_plan_decomposed_window(spark):
     for w in runs:
         if "unboundedpreceding" in w and "currentrow$" in w:
             assert "_pb" in w, w
+
+
+def test_round4_second_wave_plans(spark):
+    """Round-4 second wave (DSIR, collocations, leakage audit, shard plan,
+    quality projections): pure JVM — no cartesian/BNLJ, no row-wise
+    Python; the codegen projections additionally shuffle nothing."""
+    import __spark_entry__ as E
+    for name in ("dsir_importance", "pmi_collocations",
+                 "split_leakage_pairs", "export_shard_plan",
+                 "sketch_hist_quantiles", "temperature_mixture"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    for name in ("gopher_quality_flags", "c4_line_filter",
+                 "mojibake_repair", "readability_metrics"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} must be shuffle-free"
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
