@@ -481,6 +481,13 @@ def _q_token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture.mixture_plan(spark, _docs(spark, sf_dir))
 
 
+def _q_etld1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup (r4): eTLD+1 extraction with a
+    second-level public-suffix table as a pure scan-projection expression,
+    ONE map-side-combinable hash agg."""
+    return urlnorm.etld1_rollup(_docs(spark, sf_dir))
+
+
 def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readability + lexical diversity (r4): integer-floored Flesch
     surrogate (milli-scaled) and type-token ratio over the derived
@@ -1834,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _q_temperature_mixture,  # alpha=1/2 plan (r4)
         "split_leakage_pairs": _q_split_leakage,        # cross-split dups (r4)
         "readability_metrics": _q_readability,          # Flesch + TTR (r4)
+        "etld1_domain_rollup": _q_etld1_rollup,         # eTLD+1 grouping (r4)
         "export_shard_plan": _q_export_shard_plan,      # balanced shards (r4)
         "pmi_collocations": _q_pmi_collocations,        # phrase mining (r4)
         "snapshot_diff": _q_snapshot_diff,              # Iceberg-style diff (r4)
@@ -2099,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_pairs": curation.split_leakage_sql(
             threshold=MINHASH_T),
         "readability_metrics": readability.readability_metrics_sql(),
+        "etld1_domain_rollup": urlnorm.etld1_rollup_sql(),
         "export_shard_plan": shardplan.export_shard_plan_sql(),
         "pmi_collocations": colloc.pmi_collocations_sql(),
         "snapshot_diff": snapshot_op.snapshot_diff_sql(_crawl_history_sql()),

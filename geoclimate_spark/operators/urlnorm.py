@@ -126,3 +126,74 @@ SELECT canon_url, CAST(n AS BIGINT) AS n_crawls,
        CAST(crawl_id AS BIGINT) AS last_crawl_id,
        CAST(fetch_epoch AS BIGINT) AS last_fetch_epoch
 FROM r WHERE rn = 1"""
+
+
+# --------------------------------------------- registrable domain (eTLD+1)
+# Per-domain caps and reputation must group by the REGISTRABLE domain
+# (eTLD+1), not the raw host — "a.blog.example.co.uk" and
+# "www.example.co.uk" are the same owner. The full public-suffix list is a
+# data file a deployment broadcasts; the operator hard-codes the common
+# second-level suffixes to keep the fixture self-contained (swap
+# SL_SUFFIXES for the PSL table — the expression shape is unchanged).
+# Rule: if the last TWO labels form a listed second-level suffix, the
+# registrable domain is the last THREE labels; else the last two.
+SL_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp",
+               "com.br", "co.in", "com.cn", "co.kr")
+
+
+def _etld1_expr(host: str) -> str:
+    """Spark SQL registrable-domain expression over column ``host``."""
+    inset = ", ".join(f"'{s}'" for s in SL_SUFFIXES)
+    l = f"split({host}, '\\\\.')"
+    last2 = (f"concat(element_at({l}, -2), '.', element_at({l}, -1))")
+    last3 = (f"concat(element_at({l}, -3), '.', element_at({l}, -2),"
+             f" '.', element_at({l}, -1))")
+    return (f"CASE WHEN size({l}) >= 3 AND {last2} IN ({inset})"
+            f" THEN {last3}"
+            f" WHEN size({l}) >= 2 THEN {last2} ELSE {host} END")
+
+
+def _etld1_sql(host: str) -> str:
+    """DuckDB dual of :func:`_etld1_expr`."""
+    inset = ", ".join(f"'{s}'" for s in SL_SUFFIXES)
+    l = f"str_split({host}, '.')"
+    last2 = f"({l}[-2] || '.' || {l}[-1])"
+    last3 = f"({l}[-3] || '.' || {l}[-2] || '.' || {l}[-1])"
+    return (f"CASE WHEN len({l}) >= 3 AND {last2} IN ({inset})"
+            f" THEN {last3}"
+            f" WHEN len({l}) >= 2 THEN {last2} ELSE {host} END")
+
+
+# deterministic host fixture: five shapes (plain / www / deep subdomain /
+# second-level suffix / deep + second-level) over 17 owner groups — the
+# synthetic-column idiom of pii.py/qualityrules.py, identical SQL in both
+# engines.
+_HOST_SQL = (
+    "CASE doc_id % 5"
+    " WHEN 0 THEN concat('site', CAST(doc_id % 17 AS STRING), '.com')"
+    " WHEN 1 THEN concat('www.site', CAST(doc_id % 17 AS STRING), '.com')"
+    " WHEN 2 THEN concat('blog.site', CAST(doc_id % 17 AS STRING), '.co.uk')"
+    " WHEN 3 THEN concat('site', CAST(doc_id % 17 AS STRING), '.co.uk')"
+    " ELSE concat('a.b.site', CAST(doc_id % 17 AS STRING), '.com.au') END")
+
+
+def etld1_rollup(docs: DataFrame) -> DataFrame:
+    """Per registrable domain: (etld1, n_docs, n_hosts) over the
+    deterministic host fixture. ONE map-side-combinable hash agg (the
+    etld1 key is a scan-projection expression — no join, no Python)."""
+    return (docs
+            .selectExpr("doc_id", f"{_HOST_SQL} AS host")
+            .selectExpr(f"{_etld1_expr('host')} AS etld1", "host")
+            .groupBy("etld1")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("host").cast("long").alias("n_hosts")))
+
+
+def etld1_rollup_sql(rel: str = "documents") -> str:
+    """DuckDB dual of :func:`etld1_rollup`."""
+    return f"""WITH hosts AS (
+  SELECT doc_id, {_HOST_SQL} AS host FROM {rel}),
+keyed AS (SELECT {_etld1_sql("host")} AS etld1, host FROM hosts)
+SELECT etld1, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM keyed GROUP BY 1"""

@@ -1,0 +1,68 @@
+"""Registrable-domain (eTLD+1) rollup: parity + grouping semantics."""
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from geoclimate_spark.operators import urlnorm as U
+
+# ids chosen to hit every host shape for owner group 3 (3, 18, 33, ...)
+DOCS = [(i, "w", "en") for i in range(40)]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    con = duckdb.connect()
+    con.execute("create table docs (doc_id bigint, text varchar, lang varchar)")
+    con.executemany("insert into docs values (?, ?, ?)", DOCS)
+    return df, con
+
+
+def test_parity_and_grouping(frames):
+    df, con = frames
+    got = U.etld1_rollup(df).toPandas()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    want = con.execute(U.etld1_rollup_sql("docs")).fetchdf()[cols]\
+        .sort_values(cols).reset_index(drop=True).astype(g.dtypes.to_dict())
+    assert g.equals(want), g.compare(want) if len(g) == len(want) \
+        else (len(g), len(want))
+
+    by = {r.etld1: r for r in got.itertuples()}
+    # plain + www host shapes collapse into one .com registrable domain
+    # (doc_id 0 → site0.com, doc_id 6 → www.site6.com, …)
+    assert "site0.com" in by and "site1.com" in by
+    # second-level suffix: blog.siteN.co.uk groups under siteN.co.uk,
+    # NOT under co.uk (the naive last-two-labels bug)
+    assert not any(k == "co.uk" for k in by)
+    assert not any(k == "com.au" for k in by)
+    assert any(k.endswith(".co.uk") and k.count(".") == 2 for k in by)
+    # deep subdomain under a second-level suffix: a.b.siteN.com.au →
+    # siteN.com.au
+    assert any(k.endswith(".com.au") and k.count(".") == 2 for k in by)
+
+
+def test_etld1_expr_cases(spark):
+    from pyspark.sql import functions as F
+    hosts = ["example.com", "www.example.com", "a.b.example.com",
+             "example.co.uk", "deep.example.co.uk", "localhost",
+             "x.com.br", "y.x.com.br"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r.host: r.e for r in
+           df.select("host", F.expr(U._etld1_expr("host")).alias("e"))
+           .collect()}
+    assert got["example.com"] == "example.com"
+    assert got["www.example.com"] == "example.com"
+    assert got["a.b.example.com"] == "example.com"
+    assert got["example.co.uk"] == "example.co.uk"
+    assert got["deep.example.co.uk"] == "example.co.uk"
+    assert got["localhost"] == "localhost"
+    # com.br IS a listed suffix: x.com.br is already registrable
+    assert got["x.com.br"] == "x.com.br"
+    assert got["y.x.com.br"] == "x.com.br"
+    con = duckdb.connect()
+    for h in hosts:
+        (e,) = con.execute(
+            f"SELECT {U._etld1_sql(repr(h))}").fetchone()
+        assert e == got[h], (h, e, got[h])
