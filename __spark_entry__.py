@@ -52,6 +52,8 @@ from geoclimate_spark.operators import (colloc, dsir, dupweight, linear,
                                         mojibake, outliers, pplbucket,
                                         qualityrules, readability, shardplan)
 from geoclimate_spark.operators import snapshot as snapshot_op
+from geoclimate_spark.operators import scripts as scripts_op
+from geoclimate_spark.operators import chunker as chunker_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -830,6 +832,27 @@ def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired with chained replaces over a deterministically corrupted
     page; repaired text md5 makes the path hash-gated. Pure codegen."""
     return mojibake.repair_mojibake(_docs(spark, sf_dir))
+
+
+def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script detection (r4): per-script character counts over
+    explicit codepoint-block regex classes (identical meaning in Java
+    regex and RE2), dominant-script argmax with fixed-priority tie-break,
+    mixed-script count and exact integer dominant share. Deterministic
+    multi-script injection (the pii.with_synthetic_pii pattern) makes all
+    counts + the argmax hash-gated. Pure codegen projection."""
+    return scripts_op.script_profile(
+        scripts_op.with_synthetic_scripts(_docs(spark, sf_dir)))
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (r4): window=16/stride=12 over the
+    normalized token stream (small window so the ~100-token fixture docs
+    produce multi-chunk output), full provenance (chunk_id, token span) and
+    the chunk text + md5 — the context-window prep step, dual of
+    packed_sequences. Pure codegen + controlled posexplode, no shuffle."""
+    return chunker_op.chunk_documents(_docs(spark, sf_dir),
+                                      window=16, stride=12)
 
 
 def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1872,6 +1895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,  # applyInPandasWithState (r4)
         "ann_topk_ivf_pq": _q_ann_ivf_pq,  # product-quantized ADC + rerank (r4)
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
+        "script_detect": _q_script_detect,  # Unicode-script histogram (r4)
+        "doc_chunks": _q_doc_chunks,  # token-window chunking (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
         "c4_line_filter": _q_c4_line_filter,              # C4 cleaning (r4)
         "dsir_importance": _q_dsir_importance,            # DSIR selection (r4)
@@ -2249,6 +2274,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "page_raster_value": _page_raster_oracle_sql(),
         "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(ANN_QUERY_IDS, ANN_K),
         "pii_scrub": pii.scrub_pii_sql(),
+        "script_detect": scripts_op.script_profile_sql(),
+        "doc_chunks": chunker_op.chunk_documents_sql(window=16, stride=12),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),
         "c4_line_filter": qualityrules.c4_line_filter_sql(),
         "dsir_importance": dsir.dsir_importance_sql(),
