@@ -845,6 +845,24 @@ def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         scripts_op.with_synthetic_scripts(_docs(spark, sf_dir)))
 
 
+def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duffield–Lund–Thorup priority sampling (r4): weighted
+    without-replacement k=64 sample by n_chars with unbiased subset-sum
+    estimator weights ŵ = max(w, τ); md5-derived priorities, so sample
+    AND estimator replay bit-for-bit in DuckDB. Engine plan is
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    return curation.priority_sample(_docs(spark, sf_dir), k=64)
+
+
+def _q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall audit (r4): on the doc_id%2 slice, MinHash-LSH
+    candidate pairs vs the exact capped-Jaccard truth pairs — recall and
+    candidate efficiency as exact integer millis. The dedup analogue of
+    ann_recall_report: the number a dedup rollout gates on, itself
+    oracled. Sampled by design (exact truth costs Σ df² join rows)."""
+    return dedup.lsh_recall_report(_docs(spark, sf_dir), MINHASH_T)
+
+
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (r4): window=16/stride=12 over the
     normalized token stream (small window so the ~100-token fixture docs
@@ -1897,6 +1915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
         "script_detect": _q_script_detect,  # Unicode-script histogram (r4)
         "doc_chunks": _q_doc_chunks,  # token-window chunking (r4)
+        "dedup_recall_report": _q_dedup_recall_report,  # LSH recall audit (r4)
+        "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
         "c4_line_filter": _q_c4_line_filter,              # C4 cleaning (r4)
         "dsir_importance": _q_dsir_importance,            # DSIR selection (r4)
@@ -2276,6 +2296,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "pii_scrub": pii.scrub_pii_sql(),
         "script_detect": scripts_op.script_profile_sql(),
         "doc_chunks": chunker_op.chunk_documents_sql(window=16, stride=12),
+        "dedup_recall_report": dedup.lsh_recall_report_sql(MINHASH_T),
+        "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),
         "c4_line_filter": qualityrules.c4_line_filter_sql(),
         "dsir_importance": dsir.dsir_importance_sql(),

@@ -277,3 +277,76 @@ def split_leakage_sql(threshold: float = 0.8, doc_rel: str = "documents",
     sb = _split_case_sql("id_b", train_bp, val_bp, seed)
     return f"""SELECT id_a, id_b, {sa} AS split_a, {sb} AS split_b, jaccard
 FROM ({inner}) WHERE ({sa}) <> ({sb})"""
+
+
+# --------------------------------------------------------- priority sampling
+PSAMPLE_SEED = 1
+_U_SCALE = float(1 << 60)
+
+
+def priority_sample(docs: DataFrame, k: int = 64,
+                    weight_col: str = "n_chars", id_col: str = "doc_id",
+                    keep_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
+    """Duffield–Lund–Thorup priority sampling: a weighted without-replacement
+    sample of ``k`` documents with UNBIASED subset-sum estimator weights —
+    the principled way to downsample a 100-TB corpus proportionally to a
+    quality/size weight while still estimating any stratum's true total
+    from the sample alone.
+
+    Per doc: u01 = (hash60(seed:id)+1)/2^60 ∈ (0,1],  q = w/u01.
+    Keep the top-k by (q DESC, id); τ = the (k+1)-th priority;
+    ŵ = max(w, τ) for kept docs — E[Σ_sample ŵ · 1(i kept)] = Σ_corpus w
+    (Duffield et al., JACM 2007). Everything is derived from md5 hashes, so
+    the sample AND the estimator weights replay bit-for-bit in DuckDB (the
+    two IEEE double divisions are correctly rounded identically).
+
+    Scale: top-(k+1) by a computed order is Spark's TakeOrderedAndProject —
+    per-partition heap + driver merge of k+1 rows, NO global sort shuffle;
+    the τ window runs over k+1 rows. The q computation rides the scan.
+    """
+    did = F.col(id_col).cast("long")
+    u = hash60_seeded_col(PSAMPLE_SEED, F.concat(F.lit("ps:"),
+                                                 did.cast("string"))) + 1
+    q = (F.col("w").cast("double")
+         / (F.col("u").cast("double") / F.lit(_U_SCALE)))
+    scored = (docs.select(did.alias("doc_id"), *keep_cols,
+                          F.col(weight_col).cast("long").alias("w"))
+              .withColumn("u", u.cast("long"))
+              .withColumn("q", q))
+    top = scored.orderBy(F.col("q").desc(), "doc_id").limit(k + 1)
+    w_glob = Window.orderBy(F.col("q").desc(), "doc_id")
+    ranked = top.withColumn("rank", F.row_number().over(w_glob))
+    # τ = the (k+1)-th priority if it exists, else 0 (whole corpus kept)
+    tau = (ranked.agg(F.coalesce(
+        F.min(F.when(F.col("rank") == k + 1, F.col("q"))), F.lit(0.0))
+        .alias("tau")))
+    return (ranked.where(F.col("rank") <= k)
+            .crossJoin(F.broadcast(tau))
+            .select("doc_id", *keep_cols, "w", "q",
+                    F.greatest(F.col("w").cast("double"), F.col("tau"))
+                    .alias("w_hat"))
+            )
+
+
+def priority_sample_sql(k: int = 64, docs_rel: str = "documents",
+                        weight_sql: str = "n_chars", id_sql: str = "doc_id",
+                        keep_cols: tuple[str, ...] = ("lang",)) -> str:
+    u = hash60_seeded_sql(
+        PSAMPLE_SEED, f"concat('ps:', CAST(CAST({id_sql} AS BIGINT) AS VARCHAR))")
+    keep = "".join(f"{c}, " for c in keep_cols)
+    return f"""WITH scored AS (
+  SELECT CAST({id_sql} AS BIGINT) AS doc_id, {keep}
+         CAST({weight_sql} AS BIGINT) AS w,
+         CAST({u} + 1 AS BIGINT) AS u
+  FROM {docs_rel}
+), q AS (
+  SELECT *, CAST(w AS DOUBLE) / (CAST(u AS DOUBLE) / {_U_SCALE!r}) AS q
+  FROM scored
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rank FROM q
+), tau AS (
+  SELECT coalesce(min(CASE WHEN rank = {k} + 1 THEN q END), 0.0) AS tau
+  FROM ranked WHERE rank <= {k} + 1
+)
+SELECT doc_id, {keep}w, q, greatest(CAST(w AS DOUBLE), tau) AS w_hat
+FROM ranked, tau WHERE rank <= {k}"""

@@ -462,3 +462,96 @@ pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
   FROM bl a JOIN bl b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+# ----------------------------------------------------- LSH recall audit
+def lsh_recall_report(docs: DataFrame, threshold: float = 0.8,
+                      sample_mod: int = 2, max_df: int | None = 20,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Measured LSH banding recall — the dedup analogue of
+    similarity's ``ann_recall_report`` ("measure, don't guess"): on a
+    deterministic ``doc_id % sample_mod`` slice, compare the MinHash-LSH
+    candidate pairs against the exact (stop-shingle-capped) Jaccard pairs
+    the inverted index produces, and report recall / candidate efficiency
+    as exact integer millis.
+
+    One row: (n_docs, n_truth, n_cand, n_hit, recall_millis,
+    cand_efficiency_millis) where hit = truth ∩ candidates, recall =
+    hit/truth, efficiency = hit/cand (what fraction of generated candidate
+    pairs are true near-dups — the verify-stage cost multiplier).
+
+    Scale: the audit runs on a SAMPLE by design — the exact-truth inverted
+    index costs Σ df(sh)² join rows, so the full-corpus truth is exactly
+    the thing LSH exists to avoid; sampling by id keeps pair semantics
+    (both endpoints in-sample) and bounds cost at any corpus size. Truth
+    uses the same ``max_df`` stop-shingle cap as the shipping
+    ngram-Jaccard operator, so this audits the BANDING against the
+    engine's own exact-pair definition."""
+    sampled = docs.where(F.col(id_col) % sample_mod == 0)
+    truth = (ngram_jaccard_pairs(sampled, threshold, id_col, text_col,
+                                 max_df=max_df)
+             .select("id_a", "id_b", F.lit(1).alias("in_t")))
+    cand = (lsh_candidate_pairs(minhash_signatures(sampled, id_col, text_col))
+            .select("id_a", "id_b", F.lit(1).alias("in_c")))
+    both = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    return (both.agg(
+        F.count_if(F.col("in_t").isNotNull()).alias("n_truth"),
+        F.count_if(F.col("in_c").isNotNull()).alias("n_cand"),
+        F.count_if(F.col("in_t").isNotNull()
+                   & F.col("in_c").isNotNull()).alias("n_hit"))
+        .crossJoin(sampled.agg(F.count("*").alias("n_docs")))
+        .select("n_docs", "n_truth", "n_cand", "n_hit",
+                F.expr("CASE WHEN n_truth = 0 THEN 1000 "
+                       "ELSE (n_hit * 1000) div n_truth END")
+                .alias("recall_millis"),
+                F.expr("CASE WHEN n_cand = 0 THEN 1000 "
+                       "ELSE (n_hit * 1000) div n_cand END")
+                .alias("cand_efficiency_millis")))
+
+
+def lsh_recall_report_sql(threshold: float = 0.8, sample_mod: int = 2,
+                          max_df: int | None = 20, doc_rel: str = "documents",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n_hashes: int = N_HASHES, bands: int = LSH_BANDS,
+                          rows: int = LSH_ROWS, k: int = K_SHINGLE) -> str:
+    sampled = (f"(SELECT * FROM {doc_rel} "
+               f"WHERE {id_col} % {sample_mod} = 0)")
+    if max_df is None:
+        cap = "sh2 AS (SELECT * FROM sh)"
+    else:
+        cap = (f"hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {max_df}),\n"
+               f"sh2 AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot))")
+    band_selects = []
+    for b in range(bands):
+        parts = " , ".join(f"CAST(mh{b * rows + r} AS VARCHAR)"
+                           for r in range(rows))
+        key = hash60_sql(f"concat_ws('_', {parts})")
+        band_selects.append(f"SELECT id, {b} AS band, {key} AS bk FROM sig")
+    bl = " UNION ALL ".join(band_selects)
+    return f"""WITH {shingle_cte_sql(sampled, id_col, text_col, k)},
+{cap},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+truth AS (SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+  WHERE CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE) >= {threshold}),
+{minhash_sig_cte_sql(n_hashes)},
+bl AS ({bl}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bl a JOIN bl b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+joined AS (SELECT coalesce(t.id_a, c.id_a) AS id_a,
+       t.id_a IS NOT NULL AS in_t, c.id_a IS NOT NULL AS in_c
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b),
+agg AS (SELECT CAST(count(*) FILTER (in_t) AS BIGINT) AS n_truth,
+       CAST(count(*) FILTER (in_c) AS BIGINT) AS n_cand,
+       CAST(count(*) FILTER (in_t AND in_c) AS BIGINT) AS n_hit
+  FROM joined),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {sampled} s)
+SELECT n_docs, n_truth, n_cand, n_hit,
+  CASE WHEN n_truth = 0 THEN 1000 ELSE (n_hit * 1000) // n_truth END
+    AS recall_millis,
+  CASE WHEN n_cand = 0 THEN 1000 ELSE (n_hit * 1000) // n_cand END
+    AS cand_efficiency_millis
+FROM agg, nd"""
