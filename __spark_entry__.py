@@ -570,6 +570,22 @@ def _q_incremental_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_op.incremental_host_rollup(crawls)
 
 
+def _q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit scheduling (r4): hosts ranked for recrawl by
+    observed t1→t2 change rate × staleness of the live copy — the
+    scheduling decision a continuous crawler derives from snapshot diffs.
+    Two map-side-combinable aggs + TakeOrderedAndProject top-k; every
+    metric exact int64."""
+    frags = snapshot_op.crawl_history_fixture_sql("doc_id")
+    crawls = (_docs(spark, sf_dir)
+              .where(F.expr(frags["keep_pred"]))
+              .select(F.col("doc_id").alias("crawl_id"),
+                      F.expr(frags["raw_url"]).alias("raw_url"),
+                      F.expr(frags["fetch_epoch"]).alias("fetch_epoch"),
+                      F.expr(_CRAWL_HOST_SQL).alias("host")))
+    return snapshot_op.recrawl_priority(crawls)
+
+
 def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space benchmark decontamination: corpus vectors within
     cosine 0.9 of any (deterministically perturbed) benchmark vector; the
@@ -1273,6 +1289,18 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.decode_metadata(media.synth_media(_docs(spark, sf_dir)))
 
 
+def _q_media_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (r4): planted near-duplicate images
+    (variant groups re-encode one base frame with a pixel perturbation) →
+    average-hash decoded FROM THE BYTES (Arrow batch, 16 payload bytes per
+    row) → banded-hamming self-join, exact recall at max_hamming=3 by
+    pigeonhole. The oracle recomputes pixels arithmetically and never sees
+    bytes, so the decode path itself is hash-gated — multimodal dedup with
+    the SimHash plan shape."""
+    m = media.synth_media_variants(_docs(spark, sf_dir))
+    return media.ahash_dup_pairs(media.image_ahash(m))
+
+
 def _q_pair_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.intersect_pair_areas(
         raster.zone_bounds_df(spark),
@@ -1886,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shard_plan": _q_export_shard_plan,      # balanced shards (r4)
         "pmi_collocations": _q_pmi_collocations,        # phrase mining (r4)
         "snapshot_diff": _q_snapshot_diff,              # Iceberg-style diff (r4)
+        "recrawl_priority": _q_recrawl_priority,        # revisit scheduling (r4)
         "dedup_containment": _q_dedup_containment,      # quote inclusion (r4)
         "embedding_outliers": _q_embedding_outliers,    # semantic gate (r4)
         "token_length_histogram": _q_token_length_histogram,  # seq-len dist (r4)
@@ -1982,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_frame_sample": _q_media_frame_sample,
         "media_metadata": _q_media_metadata,  # payload format changed (r3)
+        "media_ahash_dupes": _q_media_ahash_dupes,  # perceptual-hash dedup (r4)
         "ann_topk_lsh_multitable": _q_ann_lsh_mt,  # new in r3
         "ann_topk_ivf_multiprobe": _q_ann_ivf_mp,  # new in r3
         "skewed_tile_counts_salted": _q_skewed_tile_counts,  # new in r3
@@ -2156,6 +2186,8 @@ def oracle_sql() -> dict[str, str]:
         "export_shard_plan": shardplan.export_shard_plan_sql(),
         "pmi_collocations": colloc.pmi_collocations_sql(),
         "snapshot_diff": snapshot_op.snapshot_diff_sql(_crawl_history_sql()),
+        "recrawl_priority": snapshot_op.recrawl_priority_sql(
+            _crawl_history_sql(with_host=True)),
         "dedup_containment": dedup.containment_sql(max_df=NGRAM_MAX_DF),
         "embedding_outliers": outliers.embedding_outliers_sql(),
         "token_length_histogram": bpeencode.token_length_histogram_sql(),
@@ -2335,6 +2367,7 @@ GROUP BY 1""",
         "event_sessions": windows.sessionize_sql(SESSION_GAP_SEC),
         "streaming_sessions": windows.emitted_sessions_sql(SESSION_GAP_SEC),
         "media_metadata": media.media_metadata_oracle_sql(),
+        "media_ahash_dupes": media.ahash_dup_pairs_sql(),
         "zone_geometry_props": geom_props.geometry_props_oracle_sql(),
         "road_zone_stats": roads.road_zone_stats_sql(
             roads.roads_values_sql(), raster.zone_bounds_values_sql()),

@@ -199,3 +199,92 @@ SELECT canon_url,
        CAST(_k2 // {_KEY_SCALE} AS BIGINT) AS t2_epoch,
        CAST(_k2 % {_KEY_SCALE} AS BIGINT) AS t2_crawl_id
 FROM agg WHERE _k2 IS NOT NULL"""
+
+
+# --------------------------------------------------------- recrawl priority
+def recrawl_priority(crawls: DataFrame, k: int = 50, t1: int = T1_EPOCH,
+                     t2: int = T2_EPOCH) -> DataFrame:
+    """Top-``k`` hosts to recrawl next, scored from observed change rates —
+    the scheduling decision a continuous crawler derives from snapshot
+    diffs (what Common-Crawl-style operations call adaptive revisit
+    policy): hosts whose pages changed often between t1 and t2 AND whose
+    live copies are stale get refetched first.
+
+    Per host over the t1→t2 window: n_urls (live at t2), n_added /
+    n_updated / n_unchanged, change_millis = (added+updated)·1000 div
+    n_urls, mean_age = Σ(t2 − winning_epoch) div n_urls, and
+    score = change_millis · mean_age (all exact int64 — products stay
+    < 1000 · one-year-of-seconds ≈ 3·10^10).
+
+    Scale shape: the same ONE hash agg on (canon_url, host) as
+    :func:`snapshot_diff`, a second map-side-combinable agg to hosts, then
+    a global top-k = TakeOrderedAndProject (per-partition heap, no sort
+    shuffle). Host cardinality is corpus/10^4-ish; nothing here windows
+    over it.
+
+    Input columns: crawl_id, raw_url, fetch_epoch, host."""
+    key = (F.col("fetch_epoch") * F.lit(_KEY_SCALE)
+           + F.col("crawl_id")).cast("long")
+    st = (crawls.select(
+            canonical_url_col(F.col("raw_url")).alias("canon_url"),
+            F.col("host"),
+            F.col("fetch_epoch").cast("long").alias("fetch_epoch"),
+            key.alias("_key"))
+          .groupBy("canon_url", "host")
+          .agg(F.max(F.when(F.col("fetch_epoch") <= F.lit(int(t1)),
+                            F.col("_key"))).alias("_k1"),
+               F.max(F.when(F.col("fetch_epoch") <= F.lit(int(t2)),
+                            F.col("_key"))).alias("_k2")))
+    e2 = F.expr(f"CAST(_k2 DIV {_KEY_SCALE} AS LONG)")
+    per_host = (st.where(F.col("_k2").isNotNull())
+                .groupBy("host")
+                .agg(F.count("*").cast("long").alias("n_urls"),
+                     F.count_if(F.col("_k1").isNull()).alias("n_added"),
+                     F.count_if(F.col("_k1").isNotNull()
+                                & (F.col("_k1") != F.col("_k2")))
+                     .alias("n_updated"),
+                     F.count_if(F.col("_k1") == F.col("_k2"))
+                     .alias("n_unchanged"),
+                     F.sum(F.lit(int(t2)) - e2).cast("long")
+                     .alias("_sum_age")))
+    return (per_host
+            .withColumn("change_millis", F.expr(
+                "((n_added + n_updated) * 1000) div n_urls"))
+            .withColumn("mean_age", F.expr("_sum_age div n_urls"))
+            .withColumn("score", F.col("change_millis") * F.col("mean_age"))
+            .drop("_sum_age")
+            .orderBy(F.col("score").desc(), "host")
+            .limit(k))
+
+
+def recrawl_priority_sql(crawls_sql: str, k: int = 50, t1: int = T1_EPOCH,
+                         t2: int = T2_EPOCH) -> str:
+    canon = canonical_url_sql("raw_url")
+    return f"""
+WITH c AS (
+  SELECT {canon} AS canon_url, host,
+         CAST(fetch_epoch AS BIGINT) AS fetch_epoch,
+         CAST(fetch_epoch * {_KEY_SCALE} + crawl_id AS BIGINT) AS _key
+  FROM ({crawls_sql})
+), st AS (
+  SELECT canon_url, host,
+         MAX(CASE WHEN fetch_epoch <= {int(t1)} THEN _key END) AS _k1,
+         MAX(CASE WHEN fetch_epoch <= {int(t2)} THEN _key END) AS _k2
+  FROM c GROUP BY canon_url, host
+), per_host AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_urls,
+         CAST(count(*) FILTER (_k1 IS NULL) AS BIGINT) AS n_added,
+         CAST(count(*) FILTER (_k1 IS NOT NULL AND _k1 <> _k2) AS BIGINT)
+           AS n_updated,
+         CAST(count(*) FILTER (_k1 = _k2) AS BIGINT) AS n_unchanged,
+         CAST(SUM({int(t2)} - _k2 // {_KEY_SCALE}) AS BIGINT) AS _sum_age
+  FROM st WHERE _k2 IS NOT NULL GROUP BY host
+)
+SELECT host, n_urls, n_added, n_updated, n_unchanged,
+       ((n_added + n_updated) * 1000) // n_urls AS change_millis,
+       _sum_age // n_urls AS mean_age,
+       (((n_added + n_updated) * 1000) // n_urls) * (_sum_age // n_urls)
+         AS score
+FROM per_host
+ORDER BY score DESC, host LIMIT {k}"""

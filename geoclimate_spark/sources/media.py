@@ -303,3 +303,141 @@ def media_frame_sample_oracle_sql(every_n: int, doc_rel: str = "documents",
        {_frame_byte_sql(id_col, "0", 0)} AS first_brightness,
        {_frame_byte_sql(id_col, last, 0)} AS last_brightness
 FROM {doc_rel}"""
+
+
+# ----------------------------------------------------- perceptual-hash dedup
+# aHash (average hash) over frame 0: bit i set iff pixel i is strictly above
+# the integer-floor mean of the frame's 16 pixels — the classic
+# scaled-down-grayscale perceptual fingerprint (for real formats the decode
+# step resizes to the hash grid first; the IMG1 frame IS the 4×4 grid).
+AHASH_BITS = FRAME_SIDE * FRAME_SIDE  # 16
+AHASH_BAND_BITS = 4                   # 4 bands of 4 bits
+
+
+def synth_media_variants(docs: DataFrame, group: int = 4,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Media fixture with PLANTED near-duplicate images: payload derives
+    from the VARIANT GROUP id (doc_id div group) and only pixel 0 is
+    perturbed by (doc_id % group) — the re-encoded/resized-copy situation
+    image dedup exists for. Headers still derive from the real doc_id, so
+    metadata varies within a group (as it does for real re-encodes)."""
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for i in b["doc_id"]:
+                i = int(i)
+                w, h, nf = media_fields(i)
+                base = i // group
+                pay = bytearray(_payload(base, nf))
+                pay[0] = (pay[0] + i % group) % 256
+                out.append(struct.pack(_HDR_FMT, MAGIC, w, h, nf)
+                           + bytes(pay))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "media": out,
+                                "media_type": "image/fake"})
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ahash", T.LongType()),
+])
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """(doc_id, ahash): 16-bit average hash decoded FROM THE BYTES of
+    frame 0 (numpy, Arrow-batched). Only header + 16 payload bytes are
+    touched per row — the binary column never shuffles."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hashes = []
+            for buf in b["media"]:
+                buf = bytes(buf[:_HDR_SIZE + AHASH_BITS])
+                magic, w, h, nf = struct.unpack_from(_HDR_FMT, buf)
+                if magic != MAGIC:
+                    raise ValueError("bad magic")
+                px = np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE)
+                mean = int(px.sum()) // AHASH_BITS
+                bits = (px.astype(np.int64) > mean).astype(np.int64)
+                hashes.append(int((bits << np.arange(AHASH_BITS)).sum()))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "ahash": hashes})
+
+    return media.mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming): banded-hamming self-join over aHashes — the
+    SAME filter-and-refine shape as the SimHash text dedup (band equality
+    prunes the pair space; bit_count(xor) verifies). With 4 bands and
+    max_hamming = 3, at most 3 bands are touched by differing bits, so one
+    clean band always remains: the banding loses NO pair (exact recall by
+    pigeonhole), purely JVM-side."""
+    nb = AHASH_BITS // AHASH_BAND_BITS
+    mask = (1 << AHASH_BAND_BITS) - 1
+    bl = hashes.select(
+        "doc_id", "ahash",
+        F.posexplode(F.array(*[
+            F.shiftright("ahash", b * AHASH_BAND_BITS).bitwiseAND(mask)
+            for b in range(nb)])).alias("band", "bk"))
+    a, b = bl.alias("a"), bl.alias("b")
+    return (a.join(b, ["band", "bk"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+                    .cast("long").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def _variant_pixel_sql(id_col: str, pos: int, group: int) -> str:
+    """SQL for pixel ``pos`` of doc ``id_col``'s variant frame 0."""
+    base = f"(({id_col}) // {group})"
+    raw = _frame_byte_sql(base, "0", pos)
+    if pos == 0:
+        return f"(({raw} + ({id_col}) % {group}) % 256)"
+    return raw
+
+
+def ahash_cte_sql(group: int = 4, doc_rel: str = "documents",
+                  id_col: str = "doc_id") -> str:
+    """CTE list producing ah(doc_id, ahash) — arithmetic recomputation of
+    the variant pixels (the oracle never parses bytes; byte-parse parity is
+    exactly what the engine-vs-oracle gate proves)."""
+    px = [_variant_pixel_sql(id_col, p, group) for p in range(AHASH_BITS)]
+    cols = ",\n         ".join(f"{e} AS p{p}" for p, e in enumerate(px))
+    tot = " + ".join(f"p{p}" for p in range(AHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN p{p} > mean THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(AHASH_BITS))
+    return f"""px AS (
+  SELECT {id_col} AS doc_id,
+         {cols}
+  FROM {doc_rel}
+), withmean AS (
+  SELECT *, ({tot}) // {AHASH_BITS} AS mean FROM px
+), ah AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS ahash FROM withmean
+)"""
+
+
+def ahash_dup_pairs_sql(group: int = 4, max_hamming: int = 3,
+                        doc_rel: str = "documents",
+                        id_col: str = "doc_id") -> str:
+    nb = AHASH_BITS // AHASH_BAND_BITS
+    mask = (1 << AHASH_BAND_BITS) - 1
+    bl = " UNION ALL ".join(
+        f"SELECT doc_id, ahash, {b} AS band,"
+        f" (ahash >> {b * AHASH_BAND_BITS}) & {mask} AS bk FROM ah"
+        for b in range(nb))
+    return f"""WITH {ahash_cte_sql(group, doc_rel, id_col)},
+bl AS ({bl}),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+  FROM bl a JOIN bl b ON a.band = b.band AND a.bk = b.bk
+       AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
