@@ -375,9 +375,14 @@ def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     prunes the pair space; bit_count(xor) verifies). With 4 bands and
     max_hamming = 3, at most 3 bands are touched by differing bits, so one
     clean band always remains: the banding loses NO pair (exact recall by
-    pigeonhole), purely JVM-side."""
+    pigeonhole), purely JVM-side.
+
+    The hash frame is persisted: a self-join would otherwise recompute the
+    byte-decode subtree on BOTH sides (the one stage that touches the
+    binary column)."""
     nb = AHASH_BITS // AHASH_BAND_BITS
     mask = (1 << AHASH_BAND_BITS) - 1
+    hashes = hashes.persist()
     bl = hashes.select(
         "doc_id", "ahash",
         F.posexplode(F.array(*[

@@ -384,3 +384,36 @@ def test_round4_second_wave_plans(spark):
         assert "Exchange" not in plan, f"{name} must be shuffle-free"
         assert "Join" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_round4_third_wave_plans(spark):
+    """Round-4 third wave: scan-projection ops shuffle nothing; the
+    sampling/audit/scheduling ops stay cartesian- and Python-free (the
+    media aHash decode is the one INTENDED Arrow stage — asserted
+    separately)."""
+    import __spark_entry__ as E
+    for name in ("script_detect", "doc_chunks"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} must be shuffle-free"
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    for name in ("dedup_recall_report", "priority_sample",
+                 "recrawl_priority"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    for name in ("priority_sample", "recrawl_priority"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, \
+            f"{name} top-k must not global-sort"
+    # media aHash: the byte-decode Arrow stage runs ONCE (hash frame is
+    # persisted — a bare self-join would decode the binary column twice);
+    # the banded pair join itself is JVM-side
+    plan = _plan(E.queries()["media_ahash_dupes"](spark, SF))
+    # both join sides read the CACHED hash frame (the string renders the
+    # cached subtree's MapInPandas under each InMemoryRelation, but the
+    # decode executes once)
+    assert plan.count("InMemoryTableScan") == 2, plan[:400]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
