@@ -54,6 +54,7 @@ from geoclimate_spark.operators import (colloc, dsir, dupweight, linear,
 from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.operators import scripts as scripts_op
 from geoclimate_spark.operators import chunker as chunker_op
+from geoclimate_spark.operators import cdc as cdc_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -868,6 +869,16 @@ def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND estimator replay bit-for-bit in DuckDB. Engine plan is
     TakeOrderedAndProject (per-partition heap, no global sort)."""
     return curation.priority_sample(_docs(spark, sf_dir), k=64)
+
+
+def _q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (r4): Gear rolling hash (unrolled 32-term
+    closed form, md5-derived gear table) cuts shift-robust storage chunks;
+    corpus-wide chunk occurrence counts mark the bytes a chunk store keeps
+    once. One Arrow pass + one groupBy(chunk_md5); the oracle recomputes
+    boundaries via a positions×offsets join — chunk spans, md5s AND
+    occurrence counts all hash-gated."""
+    return cdc_op.cdc_dedup(_docs(spark, sf_dir))
 
 
 def _q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1945,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": _q_script_detect,  # Unicode-script histogram (r4)
         "doc_chunks": _q_doc_chunks,  # token-window chunking (r4)
         "dedup_recall_report": _q_dedup_recall_report,  # LSH recall audit (r4)
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,  # gear-hash CDC chunks (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
         "c4_line_filter": _q_c4_line_filter,              # C4 cleaning (r4)
@@ -2329,6 +2341,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "script_detect": scripts_op.script_profile_sql(),
         "doc_chunks": chunker_op.chunk_documents_sql(window=16, stride=12),
         "dedup_recall_report": dedup.lsh_recall_report_sql(MINHASH_T),
+        "cdc_chunk_dedup": cdc_op.cdc_dedup_sql(),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),
         "c4_line_filter": qualityrules.c4_line_filter_sql(),
