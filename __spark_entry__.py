@@ -55,6 +55,7 @@ from geoclimate_spark.operators import snapshot as snapshot_op
 from geoclimate_spark.operators import scripts as scripts_op
 from geoclimate_spark.operators import chunker as chunker_op
 from geoclimate_spark.operators import cdc as cdc_op
+from geoclimate_spark.operators import phrase as phrase_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -869,6 +870,24 @@ def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND estimator replay bit-for-bit in DuckDB. Engine plan is
     TakeOrderedAndProject (per-partition heap, no global sort)."""
     return curation.priority_sample(_docs(spark, sf_dir), k=64)
+
+
+PHRASE_QUERIES = [
+    (1, "slow hash batch"),           # frequent corpus trigram
+    (2, "window fast query"),         # frequent corpus trigram
+    (3, "value spark"),               # bigram
+    (4, "table table"),               # duplicate-term phrase
+    (5, "purple monkey dishwasher"),  # no matches by construction
+]
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (r4): positional postings + the anchor trick
+    (pos − term_idx votes, all distinct indexes present = verbatim match);
+    query table broadcasts and restricts postings BEFORE any shuffle —
+    the bm25.py shuffle contract. Occurrence counts + first positions
+    hash-gated."""
+    return phrase_op.phrase_search(_docs(spark, sf_dir), PHRASE_QUERIES)
 
 
 def _q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1957,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,  # token-window chunking (r4)
         "dedup_recall_report": _q_dedup_recall_report,  # LSH recall audit (r4)
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,  # gear-hash CDC chunks (r4)
+        "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
         "c4_line_filter": _q_c4_line_filter,              # C4 cleaning (r4)
@@ -2342,6 +2362,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "doc_chunks": chunker_op.chunk_documents_sql(window=16, stride=12),
         "dedup_recall_report": dedup.lsh_recall_report_sql(MINHASH_T),
         "cdc_chunk_dedup": cdc_op.cdc_dedup_sql(),
+        "phrase_search": phrase_op.phrase_search_sql(PHRASE_QUERIES),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),
         "c4_line_filter": qualityrules.c4_line_filter_sql(),
