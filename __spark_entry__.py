@@ -588,6 +588,21 @@ def _q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_op.recrawl_priority(crawls)
 
 
+def _q_crawl_fetch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-budget allocation (r4): global fetch budget apportioned
+    across hosts ∝ (recrawl score + size floor) with the exact
+    largest-remainder rule — Σ fetch_quota == budget always (pytest
+    invariant). Windows run over the per-host rollup, not the crawl log."""
+    frags = snapshot_op.crawl_history_fixture_sql("doc_id")
+    crawls = (_docs(spark, sf_dir)
+              .where(F.expr(frags["keep_pred"]))
+              .select(F.col("doc_id").alias("crawl_id"),
+                      F.expr(frags["raw_url"]).alias("raw_url"),
+                      F.expr(frags["fetch_epoch"]).alias("fetch_epoch"),
+                      F.expr(_CRAWL_HOST_SQL).alias("host")))
+    return snapshot_op.crawl_fetch_budget(crawls)
+
+
 def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space benchmark decontamination: corpus vectors within
     cosine 0.9 of any (deterministically perturbed) benchmark vector; the
@@ -1945,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,        # phrase mining (r4)
         "snapshot_diff": _q_snapshot_diff,              # Iceberg-style diff (r4)
         "recrawl_priority": _q_recrawl_priority,        # revisit scheduling (r4)
+        "crawl_fetch_budget": _q_crawl_fetch_budget,    # politeness budget (r4)
         "dedup_containment": _q_dedup_containment,      # quote inclusion (r4)
         "embedding_outliers": _q_embedding_outliers,    # semantic gate (r4)
         "token_length_histogram": _q_token_length_histogram,  # seq-len dist (r4)
@@ -2219,6 +2235,8 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": colloc.pmi_collocations_sql(),
         "snapshot_diff": snapshot_op.snapshot_diff_sql(_crawl_history_sql()),
         "recrawl_priority": snapshot_op.recrawl_priority_sql(
+            _crawl_history_sql(with_host=True)),
+        "crawl_fetch_budget": snapshot_op.crawl_fetch_budget_sql(
             _crawl_history_sql(with_host=True)),
         "dedup_containment": dedup.containment_sql(max_df=NGRAM_MAX_DF),
         "embedding_outliers": outliers.embedding_outliers_sql(),

@@ -223,6 +223,14 @@ def recrawl_priority(crawls: DataFrame, k: int = 50, t1: int = T1_EPOCH,
     over it.
 
     Input columns: crawl_id, raw_url, fetch_epoch, host."""
+    return (_host_change_stats(crawls, t1, t2)
+            .orderBy(F.col("score").desc(), "host")
+            .limit(k))
+
+
+def _host_change_stats(crawls: DataFrame, t1: int, t2: int) -> DataFrame:
+    """Per-host diff metrics + score — shared by :func:`recrawl_priority`
+    (top-k consumer) and :func:`crawl_fetch_budget` (apportionment)."""
     key = (F.col("fetch_epoch") * F.lit(_KEY_SCALE)
            + F.col("crawl_id")).cast("long")
     st = (crawls.select(
@@ -252,9 +260,38 @@ def recrawl_priority(crawls: DataFrame, k: int = 50, t1: int = T1_EPOCH,
                 "((n_added + n_updated) * 1000) div n_urls"))
             .withColumn("mean_age", F.expr("_sum_age div n_urls"))
             .withColumn("score", F.col("change_millis") * F.col("mean_age"))
-            .drop("_sum_age")
-            .orderBy(F.col("score").desc(), "host")
-            .limit(k))
+            .drop("_sum_age"))
+
+
+def crawl_fetch_budget(crawls: DataFrame, budget: int = 100_000,
+                       t1: int = T1_EPOCH, t2: int = T2_EPOCH) -> DataFrame:
+    """Politeness-budget allocation: apportion a global fetch budget across
+    hosts ∝ (recrawl score + n_urls) with the exact largest-remainder rule
+    (mixture.py's apportionment — Σ fetch_quota == budget ALWAYS). The
+    ``+ n_urls`` floor keeps zero-change hosts revisited in proportion to
+    their size (pure change-chasing would starve stable hosts forever).
+
+    Output: (host, n_urls, score, weight, fetch_quota). The apportionment
+    windows run over the per-host rollup (corpus/10^4-ish rows), not the
+    crawl log; at 10^8+ hosts the ranked-remainder window decomposes
+    exactly like vocab.py's two-level cumsum — documented swap-in point."""
+    from pyspark.sql import Window
+    b = int(budget)
+    stats = (_host_change_stats(crawls, t1, t2)
+             .withColumn("weight", F.col("score") + F.col("n_urls")))
+    w_all = Window.partitionBy()
+    ranked = (stats
+              .withColumn("_tw", F.sum("weight").over(w_all))
+              .withColumn("_base", F.expr(f"(weight * {b}) div _tw"))
+              .withColumn("_rem", F.expr(f"(weight * {b}) % _tw"))
+              .withColumn("_extra_n", F.expr(f"{b} - sum(_base) over ()"))
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy().orderBy(
+                      F.col("_rem").desc(), F.col("host").asc()))))
+    return ranked.select(
+        "host", "n_urls", "score", "weight",
+        (F.col("_base") + (F.col("_rk") <= F.col("_extra_n")).cast("long"))
+        .cast("long").alias("fetch_quota"))
 
 
 def recrawl_priority_sql(crawls_sql: str, k: int = 50, t1: int = T1_EPOCH,
@@ -288,3 +325,51 @@ SELECT host, n_urls, n_added, n_updated, n_unchanged,
          AS score
 FROM per_host
 ORDER BY score DESC, host LIMIT {k}"""
+
+
+def crawl_fetch_budget_sql(crawls_sql: str, budget: int = 100_000,
+                           t1: int = T1_EPOCH, t2: int = T2_EPOCH) -> str:
+    canon = canonical_url_sql("raw_url")
+    b = int(budget)
+    return f"""
+WITH c AS (
+  SELECT {canon} AS canon_url, host,
+         CAST(fetch_epoch AS BIGINT) AS fetch_epoch,
+         CAST(fetch_epoch * {_KEY_SCALE} + crawl_id AS BIGINT) AS _key
+  FROM ({crawls_sql})
+), st AS (
+  SELECT canon_url, host,
+         MAX(CASE WHEN fetch_epoch <= {int(t1)} THEN _key END) AS _k1,
+         MAX(CASE WHEN fetch_epoch <= {int(t2)} THEN _key END) AS _k2
+  FROM c GROUP BY canon_url, host
+), per_host AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_urls,
+         CAST(count(*) FILTER (_k1 IS NULL) AS BIGINT) AS n_added,
+         CAST(count(*) FILTER (_k1 IS NOT NULL AND _k1 <> _k2) AS BIGINT)
+           AS n_updated,
+         CAST(SUM({int(t2)} - _k2 // {_KEY_SCALE}) AS BIGINT) AS _sum_age
+  FROM st WHERE _k2 IS NOT NULL GROUP BY host
+), scored AS (
+  SELECT host, n_urls,
+         (((n_added + n_updated) * 1000) // n_urls)
+           * (_sum_age // n_urls) AS score,
+         (((n_added + n_updated) * 1000) // n_urls)
+           * (_sum_age // n_urls) + n_urls AS weight
+  FROM per_host
+), apportioned AS (
+  SELECT *,
+         SUM(weight) OVER () AS _tw,
+         (weight * {b}) // SUM(weight) OVER () AS _base,
+         (weight * {b}) % SUM(weight) OVER () AS _rem
+  FROM scored
+), ranked AS (
+  SELECT *,
+         {b} - SUM(_base) OVER () AS _extra_n,
+         ROW_NUMBER() OVER (ORDER BY _rem DESC, host ASC) AS _rk
+  FROM apportioned)
+SELECT host, n_urls, CAST(score AS BIGINT) AS score,
+       CAST(weight AS BIGINT) AS weight,
+       CAST(_base + (CASE WHEN _rk <= _extra_n THEN 1 ELSE 0 END)
+            AS BIGINT) AS fetch_quota
+FROM ranked"""

@@ -81,3 +81,32 @@ def test_plan_topk(spark, result):
     plan = (S.recrawl_priority(df, k=10, t1=T1, t2=T2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fetch_budget_sums_to_budget(spark, result):
+    df, _ = result
+    # odd prime budget → remainder seats actually exercised
+    rows = S.crawl_fetch_budget(df, budget=997, t1=T1, t2=T2).collect()
+    assert sum(r.fetch_quota for r in rows) == 997  # exact apportionment
+    # at a budget >> total weight, the n_urls floor yields every host a
+    # nonzero quota (the floor is PROPORTIONAL, not a guaranteed seat)
+    big = {r.host: r for r in
+           S.crawl_fetch_budget(df, budget=10_000_000, t1=T1, t2=T2).collect()}
+    assert big["cold.example.com"].fetch_quota > 0
+    assert big["hot.example.com"].fetch_quota > big["cold.example.com"].fetch_quota
+    assert sum(r.fetch_quota for r in big.values()) == 10_000_000
+
+
+def test_fetch_budget_parity(spark, result):
+    df, _ = result
+    con = duckdb.connect()
+    con.execute("create table crawls (crawl_id bigint, raw_url varchar,"
+                " fetch_epoch bigint, host varchar)")
+    con.executemany("insert into crawls values (?, ?, ?, ?)", CRAWLS)
+    got = (S.crawl_fetch_budget(df, budget=997, t1=T1, t2=T2).toPandas()
+           .sort_values("host").reset_index(drop=True))
+    want = con.execute(S.crawl_fetch_budget_sql(
+        "SELECT * FROM crawls", 997, T1, T2)).fetchdf() \
+        .sort_values("host").reset_index(drop=True)
+    cols = sorted(got.columns)
+    assert got[cols].equals(want[cols].astype(got[cols].dtypes.to_dict()))
