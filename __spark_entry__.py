@@ -56,6 +56,7 @@ from geoclimate_spark.operators import scripts as scripts_op
 from geoclimate_spark.operators import chunker as chunker_op
 from geoclimate_spark.operators import cdc as cdc_op
 from geoclimate_spark.operators import phrase as phrase_op
+from geoclimate_spark.operators import audio as audio_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
@@ -1346,6 +1347,21 @@ def _q_media_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.ahash_dup_pairs(media.image_ahash(m))
 
 
+AUDIO_QUERY_DOC, AUDIO_Q_FROM, AUDIO_Q_TO = 47, 2, 10  # doc 47 has 24 frames
+
+
+def _q_audio_snippet_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-constellation retrieval (r4): Shazam-shape landmark hashes
+    ((peak_f, peak_{f+dt}, dt) per spectral window) decoded FROM THE BYTES
+    in one Arrow pass; a query snippet's landmarks broadcast and matches
+    vote per (doc, time offset). The oracle recomputes peaks from the md5
+    payload arithmetic — decode, hashing AND alignment all hash-gated."""
+    lm = audio_op.audio_landmarks(
+        media.synth_media(_docs(spark, sf_dir))).persist()
+    return audio_op.snippet_match(lm, AUDIO_QUERY_DOC,
+                                  AUDIO_Q_FROM, AUDIO_Q_TO)
+
+
 def _q_pair_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.intersect_pair_areas(
         raster.zone_bounds_df(spark),
@@ -2060,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "media_metadata": _q_media_metadata,  # payload format changed (r3)
         "media_ahash_dupes": _q_media_ahash_dupes,  # perceptual-hash dedup (r4)
+        "audio_snippet_match": _q_audio_snippet_match,  # constellation match (r4)
         "ann_topk_lsh_multitable": _q_ann_lsh_mt,  # new in r3
         "ann_topk_ivf_multiprobe": _q_ann_ivf_mp,  # new in r3
         "skewed_tile_counts_salted": _q_skewed_tile_counts,  # new in r3
@@ -2420,6 +2437,8 @@ GROUP BY 1""",
         "streaming_sessions": windows.emitted_sessions_sql(SESSION_GAP_SEC),
         "media_metadata": media.media_metadata_oracle_sql(),
         "media_ahash_dupes": media.ahash_dup_pairs_sql(),
+        "audio_snippet_match": audio_op.snippet_match_sql(
+            AUDIO_QUERY_DOC, AUDIO_Q_FROM, AUDIO_Q_TO),
         "zone_geometry_props": geom_props.geometry_props_oracle_sql(),
         "road_zone_stats": roads.road_zone_stats_sql(
             roads.roads_values_sql(), raster.zone_bounds_values_sql()),
