@@ -417,3 +417,22 @@ def test_round4_third_wave_plans(spark):
     assert plan.count("InMemoryTableScan") == 2, plan[:400]
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round4_fourth_wave_plans(spark):
+    """Fourth wave: CDC/audio keep Python confined to the intended Arrow
+    decode stage; phrase/budget stay pure JVM with no cartesian."""
+    import __spark_entry__ as E
+    for name in ("phrase_search", "crawl_fetch_budget"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+    # phrase search: the broadcast of query terms must precede the shuffle
+    plan = _plan(E.queries()["phrase_search"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for name in ("cdc_chunk_dedup", "audio_snippet_match"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
