@@ -58,6 +58,7 @@ from geoclimate_spark.operators import cdc as cdc_op
 from geoclimate_spark.operators import phrase as phrase_op
 from geoclimate_spark.operators import audio as audio_op
 from geoclimate_spark.sources import assembly, media
+from geoclimate_spark.sources import warc as warc_src
 from geoclimate_spark.sources import wkb as wkb_src
 from geoclimate_spark.operators.spatial_join import spatial_join_points
 from geoclimate_spark.operators import tile as tile_op
@@ -1347,6 +1348,17 @@ def _q_media_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.ahash_dup_pairs(media.image_ahash(m))
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-segment framing roundtrip (r4): docs packed into length-framed
+    multi-record blobs (one per 16 docs), then split back out by honoring
+    Content-Length — the actual first operation of a Common-Crawl-scale
+    ingest. The oracle recomputes every parsed field arithmetically and
+    never touches a blob, so the byte-framing parser itself is
+    hash-gated."""
+    return warc_src.parse_warc_segments(
+        warc_src.synth_warc_segments(_docs(spark, sf_dir)))
+
+
 AUDIO_QUERY_DOC, AUDIO_Q_FROM, AUDIO_Q_TO = 47, 2, 10  # doc 47 has 24 frames
 
 
@@ -2077,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,  # payload format changed (r3)
         "media_ahash_dupes": _q_media_ahash_dupes,  # perceptual-hash dedup (r4)
         "audio_snippet_match": _q_audio_snippet_match,  # constellation match (r4)
+        "warc_roundtrip": _q_warc_roundtrip,  # record-framed segment source (r4)
         "ann_topk_lsh_multitable": _q_ann_lsh_mt,  # new in r3
         "ann_topk_ivf_multiprobe": _q_ann_ivf_mp,  # new in r3
         "skewed_tile_counts_salted": _q_skewed_tile_counts,  # new in r3
@@ -2439,6 +2452,7 @@ GROUP BY 1""",
         "media_ahash_dupes": media.ahash_dup_pairs_sql(),
         "audio_snippet_match": audio_op.snippet_match_sql(
             AUDIO_QUERY_DOC, AUDIO_Q_FROM, AUDIO_Q_TO),
+        "warc_roundtrip": warc_src.warc_roundtrip_sql(),
         "zone_geometry_props": geom_props.geometry_props_oracle_sql(),
         "road_zone_stats": roads.road_zone_stats_sql(
             roads.roads_values_sql(), raster.zone_bounds_values_sql()),
