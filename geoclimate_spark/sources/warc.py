@@ -71,7 +71,7 @@ def synth_warc_segments(docs: DataFrame, recs_per_seg: int = RECS_PER_SEG,
                         F.col(text_col).alias("text"))
             .withColumn("seg", F.expr(f"doc_id div {recs_per_seg}")))
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (seg,) = key
         pdf = pdf.sort_values("doc_id")
         parts = []
