@@ -309,6 +309,25 @@ def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlnorm.latest_crawl_per_url(crawls)
 
 
+_SURT_RAW_SQL = ("concat('https://', " + urlnorm._HOST_SQL
+                 + ", '/p/', CAST(doc_id AS STRING))")
+_SURT_RAW_DUCK = ("('https://' || " + urlnorm._HOST_SQL.replace(
+    "AS STRING", "AS VARCHAR") + " || '/p/' || CAST(doc_id AS VARCHAR))")
+
+
+def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT storage keys (r4): web-archive sort-friendly URL transform —
+    host labels reversed (com,example,www)/path — over the multi-label
+    host fixture; lexicographic SURT order clusters a domain's subdomains
+    contiguously, the layout key for file-level pruning of host-scoped
+    scans (the Z-order move applied to the URL hierarchy). Pure codegen
+    projection."""
+    crawls = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("crawl_id"),
+        F.expr(_SURT_RAW_SQL).alias("raw_url"))
+    return urlnorm.surt_keys(crawls)
+
+
 def _q_tile_indicator_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rasterizeIndicators analogue (`WorkflowGeoIndicators.groovy:
     1571-1959`): per-grid-cell indicator families assembled into one wide
@@ -2040,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_docs_per_lang": _q_topk_docs_per_lang,  # salted top-k (r4)
         "zonal_quantiles_chars": _q_zonal_quantiles,  # exact percentiles (r4)
         "url_canonical_dedup": _q_url_canonical_dedup,  # canonical URL (r4)
+        "surt_keys": _q_surt_keys,  # sort-friendly URL layout keys (r4)
         "tile_indicator_table": _q_tile_indicator_table,  # grid rasterize (r4)
         "segment_dedup": _q_segment_dedup,           # paragraph dedup (r4)
         "duplicate_spans": _q_duplicate_spans,       # ExactSubstr trim (r4)
@@ -2297,6 +2317,9 @@ def oracle_sql() -> dict[str, str]:
             "lang", "n_chars", "doc_id", TOPK_PER_LANG),
         "zonal_quantiles_chars": zonal.exact_quantiles_sql(
             _geo_rows_sql("LENGTH(text) AS chars"), "zone_id", "chars"),
+        "surt_keys": urlnorm.surt_keys_sql(
+            "SELECT doc_id AS crawl_id, " + _SURT_RAW_DUCK
+            + " AS raw_url FROM documents"),
         "url_canonical_dedup": urlnorm.latest_crawl_per_url_sql(
             "SELECT doc_id AS crawl_id, "
             + urlnorm.url_crawl_fixture_sql("doc_id")["raw_url"]

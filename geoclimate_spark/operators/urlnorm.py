@@ -197,3 +197,50 @@ keyed AS (SELECT {_etld1_sql("host")} AS etld1, host FROM hosts)
 SELECT etld1, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
 FROM keyed GROUP BY 1"""
+
+
+# ----------------------------------------------------------------- SURT form
+def surt_col(raw: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform, the web-archive/
+    OpenWayback convention): canonicalize, then rewrite
+    ``host/path`` as ``tld,…,sub)/path`` — host labels REVERSED and
+    comma-joined so that lexicographic order clusters every subdomain of a
+    domain contiguously. That is a physical-layout property: sorting/
+    bucketing a 10^12-row URL table by SURT key makes "everything under
+    example.com" a contiguous key range → file-level min/max pruning
+    answers host-scoped scans (the Z-order move, grid.py:202, applied to
+    the URL hierarchy)."""
+    canon = canonical_url_col(raw)
+    host = F.regexp_replace(canon, "/.*$", "")
+    path = F.regexp_replace(canon, "^[^/]*", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), path)
+
+
+def surt_sql(raw_sql: str) -> str:
+    canon = canonical_url_sql(raw_sql)
+    host = f"regexp_replace({canon}, '/.*$', '')"
+    path = f"regexp_replace({canon}, '^[^/]*', '')"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    return f"({rev} || ')' || {path})"
+
+
+def surt_keys(crawls: DataFrame) -> DataFrame:
+    """(crawl_id, canon_url, surt, surt_host): SURT storage keys for a
+    crawl log plus the host-only prefix (the bucketing/range key)."""
+    c = crawls.select(
+        F.col("crawl_id").cast("long").alias("crawl_id"),
+        canonical_url_col(F.col("raw_url")).alias("canon_url"),
+        surt_col(F.col("raw_url")).alias("surt"))
+    return c.withColumn("surt_host",
+                        F.regexp_replace(F.col("surt"), r"\).*$", ""))
+
+
+def surt_keys_sql(crawls_sql: str) -> str:
+    surt = surt_sql("raw_url")
+    return f"""
+SELECT CAST(crawl_id AS BIGINT) AS crawl_id,
+       {canonical_url_sql("raw_url")} AS canon_url,
+       {surt} AS surt,
+       regexp_replace({surt}, '\\).*$', '') AS surt_host
+FROM ({crawls_sql})"""

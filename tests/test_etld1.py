@@ -66,3 +66,41 @@ def test_etld1_expr_cases(spark):
         (e,) = con.execute(
             f"SELECT {U._etld1_sql(repr(h))}").fetchone()
         assert e == got[h], (h, e, got[h])
+
+
+def test_surt_transform(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "https://www.Blog.Example.co.uk/Posts/1?utm_source=x"),
+         (2, "http://example.com/"),
+         (3, "https://a.b.site.com.au/deep/path#frag")],
+        "crawl_id long, raw_url string")
+    rows = {r.crawl_id: r for r in U.surt_keys(df).collect()}
+    # www stripped by canonicalization, labels reversed, path preserved
+    assert rows[1].surt == "uk,co,example,blog)/posts/1"
+    assert rows[1].surt_host == "uk,co,example,blog"
+    assert rows[2].surt == "com,example)"        # trailing slash canonical
+    assert rows[3].surt == "au,com,site,b,a)/deep/path"
+    # the layout property: subdomains of one domain sort contiguously
+    hosts = ["com,example", "com,example,www", "com,examplez", "com,exb"]
+    assert sorted(hosts)[:2] == ["com,example", "com,example,www"]
+
+
+def test_surt_parity(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://s{i % 3}.site{i % 4}.com/p/{i}") for i in range(24)],
+        "crawl_id long, raw_url string")
+    got = U.surt_keys(df).toPandas()
+    con = duckdb.connect()
+    con.execute("create table crawls as select * from got")
+    # rebuild from the raw urls only
+    con.execute("create table raw (crawl_id bigint, raw_url varchar)")
+    con.executemany("insert into raw values (?, ?)",
+                    [(i, f"https://s{i % 3}.site{i % 4}.com/p/{i}")
+                     for i in range(24)])
+    want = con.execute(U.surt_keys_sql("SELECT * FROM raw")).fetchdf()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True).astype(
+        g.dtypes.to_dict())
+    assert g.equals(w)
