@@ -436,3 +436,16 @@ def test_round4_fourth_wave_plans(spark):
         plan = _plan(E.queries()[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_warc_and_surt_plans(spark):
+    """warc: exactly the intended two Python stages (grouped pack + parse),
+    one shuffle (the seg grouping); surt: shuffle-free codegen."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["surt_keys"](spark, SF))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    plan = _plan(E.queries()["warc_roundtrip"](spark, SF))
+    assert plan.count("FlatMapGroupsInPandas") == 1  # pack
+    assert plan.count("MapInPandas") == 1            # parse
+    assert plan.count("Exchange") == 1               # seg grouping only
