@@ -926,6 +926,16 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_op.phrase_search(_docs(spark, sf_dir), PHRASE_QUERIES)
 
 
+def _q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup (r4): near-dup pairs involving the new batch
+    (id%4==0 slice) via delta-bands ⋈ all-bands — pair space scales with
+    |delta|, never |corpus|²; the oracle recomputes the FULL pair set and
+    filters, so delta-join ≡ full-recompute is hash-gated (the same
+    base⊕delta algebra as incremental_host_rollup, applied to dedup)."""
+    return dedup.incremental_minhash_delta(_docs(spark, sf_dir),
+                                           threshold=MINHASH_T)
+
+
 def _q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (r4): Gear rolling hash (unrolled 32-term
     closed form, md5-derived gear table) cuts shift-robust storage chunks;
@@ -2039,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,  # token-window chunking (r4)
         "dedup_recall_report": _q_dedup_recall_report,  # LSH recall audit (r4)
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,  # gear-hash CDC chunks (r4)
+        "incremental_dedup_delta": _q_incremental_dedup_delta,  # batch-delta dedup (r4)
         "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
@@ -2433,6 +2444,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "doc_chunks": chunker_op.chunk_documents_sql(window=16, stride=12),
         "dedup_recall_report": dedup.lsh_recall_report_sql(MINHASH_T),
         "cdc_chunk_dedup": cdc_op.cdc_dedup_sql(),
+        "incremental_dedup_delta": dedup.incremental_minhash_delta_sql(
+            threshold=MINHASH_T),
         "phrase_search": phrase_op.phrase_search_sql(PHRASE_QUERIES),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),

@@ -555,3 +555,78 @@ SELECT n_docs, n_truth, n_cand, n_hit,
   CASE WHEN n_cand = 0 THEN 1000 ELSE (n_hit * 1000) // n_cand END
     AS cand_efficiency_millis
 FROM agg, nd"""
+
+
+# ----------------------------------------------- incremental (delta) dedup
+def incremental_minhash_delta(docs: DataFrame, delta_mod: int = 4,
+                              threshold: float = 0.8,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n_hashes: int = N_HASHES,
+                              bands: int = LSH_BANDS,
+                              rows: int = LSH_ROWS,
+                              k: int = K_SHINGLE) -> DataFrame:
+    """Daily-ingest dedup: near-dup pairs INVOLVING the new batch only —
+    (id_a, id_b, jaccard, pair_kind ∈ delta_vs_base / delta_vs_delta),
+    id_a < id_b, never re-verifying base×base.
+
+    The batch is the deterministic ``id % delta_mod == 0`` slice (standing
+    in for "today's crawl"); everything else is the existing corpus whose
+    band index a real deployment has ON DISK (sources/bucketing.py — the
+    same store-side shape as the streaming dedup's bucketed fingerprint
+    store). The candidate join is delta-bands ⋈ all-bands, so the shuffled
+    pair space scales with |delta|·bands, NOT |corpus|²: the property that
+    lets a 100-TB corpus absorb a daily batch by touching the delta and
+    the matching band buckets only. The incremental-maintenance algebra
+    mirrors snapshot.incremental_host_rollup: the ORACLE recomputes the
+    FULL pair set from scratch and filters to delta-involving pairs, so
+    delta-join ≡ full-recompute is what the hash gate proves."""
+    arr = _with_signature_cols(
+        shingle_array_df(docs, id_col, text_col, k), n_hashes).persist()
+    sig = arr.drop("sha")
+    keys = F.array(*[_band_key_col(b, rows) for b in range(bands)])
+    bl = sig.select("id", F.posexplode(keys).alias("band", "bk")).persist()
+    is_delta = F.col("id") % delta_mod == 0
+    dl, al = bl.where(is_delta).alias("d"), bl.alias("a")
+    cand = (dl.join(al, ["band", "bk"])
+            .where(F.col("d.id") != F.col("a.id"))
+            .select(F.least(F.col("d.id"), F.col("a.id")).alias("id_a"),
+                    F.greatest(F.col("d.id"), F.col("a.id")).alias("id_b"))
+            .distinct())
+    sets_ = arr.select("id", "sha", F.size("sha").cast("long").alias("n"))
+    return (cand
+            .join(sets_.withColumnsRenamed(
+                {"id": "id_a", "sha": "sha_a", "n": "na"}), "id_a")
+            .join(sets_.withColumnsRenamed(
+                {"id": "id_b", "sha": "sha_b", "n": "nb"}), "id_b")
+            .withColumn("c", F.size(F.array_intersect("sha_a", "sha_b"))
+                        .cast("long"))
+            .withColumn("jaccard", F.col("c").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("c"))
+                        .cast("double"))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", "jaccard",
+                    F.when((F.col("id_a") % delta_mod == 0)
+                           & (F.col("id_b") % delta_mod == 0),
+                           F.lit("delta_vs_delta"))
+                    .otherwise(F.lit("delta_vs_base")).alias("pair_kind")))
+
+
+def incremental_minhash_delta_sql(delta_mod: int = 4, threshold: float = 0.8,
+                                  doc_rel: str = "documents",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  n_hashes: int = N_HASHES,
+                                  bands: int = LSH_BANDS,
+                                  rows: int = LSH_ROWS,
+                                  k: int = K_SHINGLE) -> str:
+    """Oracle = the FULL minhash-LSH recompute, filtered to pairs with a
+    delta-side member — deliberately NOT the incremental algorithm."""
+    full = minhash_lsh_sql(threshold, doc_rel, id_col, text_col,
+                           n_hashes, bands, rows, k)
+    return f"""WITH full_pairs AS ({full})
+SELECT id_a, id_b, jaccard,
+       CASE WHEN id_a % {delta_mod} = 0 AND id_b % {delta_mod} = 0
+            THEN 'delta_vs_delta' ELSE 'delta_vs_base' END AS pair_kind
+FROM full_pairs
+WHERE id_a % {delta_mod} = 0 OR id_b % {delta_mod} = 0"""

@@ -63,3 +63,29 @@ def test_empty_sample(spark):
     r = D.lsh_recall_report(df, threshold=0.8).collect()[0]
     assert (r.n_docs, r.n_truth, r.n_cand, r.n_hit) == (0, 0, 0, 0)
     assert r.recall_millis == 1000 and r.cand_efficiency_millis == 1000
+
+
+def test_incremental_delta_equals_filtered_full(spark):
+    """delta-join ≡ full-recompute-then-filter, and base×base pairs are
+    genuinely absent from the incremental result."""
+    docs = (
+        [(0, BASE, "en"), (4, BASE.replace("green", "teal"), "en")]  # delta twins
+        + [(1, BASE, "en"), (5, BASE.replace("fox", "cat"), "en")]   # base twins
+        + [(2, BASE.replace("wall", "fence"), "en")]                 # base, near 1
+        + [(8 + i, f"filler doc {i} about topic{i} only {i*31}", "en")
+           for i in range(8)]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    inc = {(r.id_a, r.id_b): (r.jaccard, r.pair_kind)
+           for r in D.incremental_minhash_delta(df, threshold=0.7).collect()}
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in D.minhash_near_duplicates(df, threshold=0.7).collect()}
+    want = {p: j for p, j in full.items() if p[0] % 4 == 0 or p[1] % 4 == 0}
+    assert {p: j for p, (j, _) in inc.items()} == want
+    # the base×base near-dup pair (1,2)/(1,5) exists in full but NOT here
+    assert any(p[0] % 4 and p[1] % 4 for p in full), "fixture needs base pairs"
+    assert all(p[0] % 4 == 0 or p[1] % 4 == 0 for p in inc)
+    # kinds
+    for (a, b), (_, kind) in inc.items():
+        exp = "delta_vs_delta" if (a % 4 == 0 and b % 4 == 0) else "delta_vs_base"
+        assert kind == exp
