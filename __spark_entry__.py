@@ -926,6 +926,15 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_op.phrase_search(_docs(spark, sf_dir), PHRASE_QUERIES)
 
 
+def _q_duplication_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication spectrum (r4): corpus-wide duplicated-window prevalence
+    at 4/8/16/32-token granularity — the measurement that picks an
+    ExactSubstr span length (short-window dup ≈ formulaic language,
+    long-window dup = copied passages). One gram-keyed shuffle per
+    length, one row out per length."""
+    return dupspan.duplication_spectrum(_docs(spark, sf_dir))
+
+
 def _q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest dedup (r4): near-dup pairs involving the new batch
     (id%4==0 slice) via delta-bands ⋈ all-bands — pair space scales with
@@ -2050,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_report": _q_dedup_recall_report,  # LSH recall audit (r4)
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,  # gear-hash CDC chunks (r4)
         "incremental_dedup_delta": _q_incremental_dedup_delta,  # batch-delta dedup (r4)
+        "duplication_spectrum": _q_duplication_spectrum,  # dup-length profile (r4)
         "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
@@ -2446,6 +2456,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "cdc_chunk_dedup": cdc_op.cdc_dedup_sql(),
         "incremental_dedup_delta": dedup.incremental_minhash_delta_sql(
             threshold=MINHASH_T),
+        "duplication_spectrum": dupspan.duplication_spectrum_sql(),
         "phrase_search": phrase_op.phrase_search_sql(PHRASE_QUERIES),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),

@@ -252,3 +252,72 @@ hit AS (SELECT id, pos FROM wh
           AND gh IN (SELECT gh FROM bench_g)),
 {_trim_tail_sql(n, id_col, "train_base", "hit", "n_hit_windows",
                 "contam_tokens", "contam_fraction", "clean_text")}"""
+
+
+# -------------------------------------------------------- duplication spectrum
+SPECTRUM_LENGTHS = (4, 8, 16, 32)
+
+
+def duplication_spectrum(docs: DataFrame,
+                         lengths: tuple[int, ...] = SPECTRUM_LENGTHS,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Corpus duplication profile across window lengths: one row per n ∈
+    ``lengths`` with (window_len, total_windows, dup_windows, dup_docs,
+    dup_window_millis) — how much of the corpus is duplicated at 4-token
+    granularity vs 32-token granularity. This is the measurement that
+    picks the ExactSubstr span length (Lee et al. use 50 BPE tokens;
+    short corpora need the curve, not the constant): long-window
+    duplication = real copied passages, short-window duplication ≈
+    formulaic language.
+
+    Scale: one gram-keyed map-side-combinable shuffle PER length (the
+    lengths are a handful); the per-length stats aggregate to ONE row
+    before the union, so the result assembly is free. The shared token
+    array is computed once and persisted."""
+    base = _base(docs, id_col, text_col).persist()
+    outs = []
+    for n in lengths:
+        wins = _windows(base, n)
+        dup = (wins.groupBy("gram").agg(F.count("*").alias("_c"))
+               .where(F.col("_c") >= 2))
+        dstats = (wins.join(dup.select("gram"), "gram")
+                  .agg(F.count("*").cast("long").alias("dup_windows"),
+                       F.countDistinct("id").cast("long").alias("dup_docs")))
+        totals = base.agg(
+            F.sum(F.greatest(F.col("n_tokens") - F.lit(n - 1), F.lit(0)))
+            .cast("long").alias("total_windows"))
+        outs.append(
+            dstats.crossJoin(totals)
+            .select(F.lit(n).cast("long").alias("window_len"),
+                    "total_windows", "dup_windows", "dup_docs",
+                    F.expr("CASE WHEN total_windows = 0 THEN 0 "
+                           "ELSE (dup_windows * 1000) div total_windows END")
+                    .alias("dup_window_millis")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def duplication_spectrum_sql(lengths: tuple[int, ...] = SPECTRUM_LENGTHS,
+                             doc_rel: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    parts = []
+    for n in lengths:
+        parts.append(f"""(
+WITH {_base_wins_ctes_sql(doc_rel, id_col, text_col, n)},
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= 2),
+dw AS (SELECT CAST(COUNT(*) AS BIGINT) AS dup_windows,
+              CAST(COUNT(DISTINCT id) AS BIGINT) AS dup_docs
+       FROM wins JOIN dup USING (gram)),
+tot AS (SELECT CAST(SUM(GREATEST(n_tokens - {n - 1}, 0)) AS BIGINT)
+                 AS total_windows FROM base)
+SELECT CAST({n} AS BIGINT) AS window_len, tot.total_windows,
+       dw.dup_windows, dw.dup_docs,
+       CASE WHEN tot.total_windows = 0 THEN 0
+            ELSE (dw.dup_windows * 1000) // tot.total_windows END
+         AS dup_window_millis
+FROM dw, tot)""")
+    return "\nUNION ALL\n".join(parts)

@@ -81,3 +81,36 @@ def test_normalization_and_empty_doc(spark):
     assert got[2].dup_tokens == 4 and got[2].trimmed_text == ""
     assert got[3].n_tokens == 1 and got[3].dup_fraction == 0.0
     assert got[3].trimmed_text == ""
+
+
+def test_duplication_spectrum(spark):
+    from geoclimate_spark.operators import dupspan as DS
+    long_copy = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, long_copy + " unique tail zero", "en"),
+        (1, long_copy + " unique tail one", "en"),    # shares a 10-token run
+        (2, "totally different text with no repeats at all here", "en"),
+        (3, "x y x y x y x y", "en"),                 # short-window self-dup
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    rows = {r.window_len: r
+            for r in DS.duplication_spectrum(df, (2, 4, 8)).collect()}
+    # the 10-token shared run duplicates windows at every length <= 10
+    assert rows[8].dup_windows >= 2 and rows[8].dup_docs >= 2
+    # short windows catch the x-y repetition too
+    assert rows[2].dup_docs >= 3
+    # monotonicity: longer windows can only reduce the duplicated share
+    assert (rows[2].dup_window_millis >= rows[4].dup_window_millis
+            >= rows[8].dup_window_millis)
+    # parity
+    import duckdb
+    con = duckdb.connect()
+    con.execute("create table docs (doc_id bigint, text varchar, lang varchar)")
+    con.executemany("insert into docs values (?, ?, ?)", docs)
+    want = con.execute(
+        DS.duplication_spectrum_sql((2, 4, 8), "docs")).fetchdf()
+    for r in want.itertuples():
+        e = rows[r.window_len]
+        assert (e.total_windows, e.dup_windows, e.dup_docs,
+                e.dup_window_millis) == (r.total_windows, r.dup_windows,
+                                         r.dup_docs, r.dup_window_millis)
