@@ -926,6 +926,15 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_op.phrase_search(_docs(spark, sf_dir), PHRASE_QUERIES)
 
 
+def _q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range partitioner planning (r4): exact split values from
+    rank arithmetic over the DISTINCT-value rollup (what RangePartitioner
+    samples for, computed exactly), constant-key broadcast assignment,
+    realized per-bucket balance reported. Duplicates of one value never
+    split across buckets."""
+    return shardplan.range_partition_plan(_docs(spark, sf_dir))
+
+
 def _q_duplication_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication spectrum (r4): corpus-wide duplicated-window prevalence
     at 4/8/16/32-token granularity — the measurement that picks an
@@ -2060,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,  # gear-hash CDC chunks (r4)
         "incremental_dedup_delta": _q_incremental_dedup_delta,  # batch-delta dedup (r4)
         "duplication_spectrum": _q_duplication_spectrum,  # dup-length profile (r4)
+        "range_partition_plan": _q_range_partition_plan,  # equi-depth splits (r4)
         "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
@@ -2457,6 +2467,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "incremental_dedup_delta": dedup.incremental_minhash_delta_sql(
             threshold=MINHASH_T),
         "duplication_spectrum": dupspan.duplication_spectrum_sql(),
+        "range_partition_plan": shardplan.range_partition_plan_sql(),
         "phrase_search": phrase_op.phrase_search_sql(PHRASE_QUERIES),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),

@@ -70,3 +70,85 @@ def export_shard_plan_sql(rel: str = "documents", id_col: str = "doc_id",
        CAST((ROW_NUMBER() OVER (ORDER BY {size_col} DESC, {id_col} ASC) - 1)
             % {int(k)} AS BIGINT) AS shard
 FROM {rel}"""
+
+
+# ---------------------------------------------------- range partition plan
+def range_partition_plan(docs: DataFrame, n_buckets: int = 8,
+                         value_col: str = "n_chars",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Equi-depth range-partitioner planning — the physical-layout consumer
+    of exact rank arithmetic (what Spark's RangePartitioner does by
+    SAMPLING, computed exactly): pick ``n_buckets − 1`` split values so
+    each value range holds ≈ N/n_buckets rows, then assign every row and
+    report the realized balance. Output one row per bucket:
+    (bucket, lo_value, hi_value, n_docs) with lo/hi the observed min/max
+    value inside the bucket (hi of bucket j < lo of bucket j+1 unless a
+    heavy value straddles — duplicates of one value NEVER split across
+    buckets, the property a range shuffle needs).
+
+    Boundary rule: boundary_j = min value v with cum(v) > (j·N) div K,
+    where cum(v) = #rows ≤ v; bucket(x) = #{j : boundary_j ≤ x}.
+
+    Scale: ONE map-side-combinable groupBy(value) count; the cumulative
+    window runs over the DISTINCT-VALUE rollup (bounded domain — n_chars
+    here), not the corpus; boundaries reach rows via the constant-key
+    broadcast idiom (kmeans.py — a column-derived key, since a literal key
+    constant-folds into a BNLJ); the final count is one hash agg on
+    bucket."""
+    vc = (docs.select(F.col(value_col).cast("long").alias("v"))
+          .groupBy("v").agg(F.count("*").alias("c")))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.withColumn("_cum", F.sum("c").over(wv)) \
+            .withColumn("_n", F.sum("c").over(
+                Window.partitionBy()))
+    k = int(n_buckets)
+    bounds = None
+    for j in range(1, k):
+        bj = (cum.where(F.col("_cum") > F.expr(f"(_n * {j}) div {k}"))
+              .agg(F.min("v").alias("bval"))
+              .select(F.lit(j).alias("j"), "bval"))
+        bounds = bj if bounds is None else bounds.unionAll(bj)
+    barr = (bounds.where(F.col("bval").isNotNull())
+            .agg(F.sort_array(F.collect_list("bval")).alias("_bs"))
+            .withColumn("_one", F.pmod(F.size("_bs").cast("long"),
+                                       F.lit(1))))
+    rows = (docs.select(F.col(id_col).alias("id"),
+                        F.col(value_col).cast("long").alias("v"))
+            .withColumn("_one", F.pmod(F.col("id"), F.lit(1)))
+            .join(F.broadcast(barr), "_one")
+            .withColumn("bucket", F.expr(
+                "CAST(size(filter(_bs, b -> b <= v)) AS LONG)")))
+    return (rows.groupBy("bucket")
+            .agg(F.min("v").cast("long").alias("lo_value"),
+                 F.max("v").cast("long").alias("hi_value"),
+                 F.count("*").cast("long").alias("n_docs")))
+
+
+def range_partition_plan_sql(n_buckets: int = 8, doc_rel: str = "documents",
+                             value_sql: str = "n_chars",
+                             id_sql: str = "doc_id") -> str:
+    k = int(n_buckets)
+    bsel = " UNION ALL ".join(
+        f"SELECT {j} AS j, (SELECT MIN(v) FROM cum WHERE _cum > (_n * {j}) // {k}) AS bval"
+        for j in range(1, k))
+    return f"""WITH vc AS (
+  SELECT CAST({value_sql} AS BIGINT) AS v, COUNT(*) AS c
+  FROM {doc_rel} GROUP BY 1
+), cum AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS _cum,
+         SUM(c) OVER () AS _n
+  FROM vc
+), bounds AS ({bsel}),
+rows_b AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id, CAST({value_sql} AS BIGINT) AS v,
+         (SELECT COUNT(*) FROM bounds b
+          WHERE b.bval IS NOT NULL AND b.bval <= CAST({value_sql} AS BIGINT))
+           AS bucket
+  FROM {doc_rel}
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(MIN(v) AS BIGINT) AS lo_value,
+       CAST(MAX(v) AS BIGINT) AS hi_value,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM rows_b GROUP BY 1"""

@@ -1,0 +1,66 @@
+"""Equi-depth range partition plan: balance, no-value-splitting, skew
+behavior, parity, plan shape."""
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from geoclimate_spark.operators import shardplan as SP
+
+SCHEMA = "doc_id long, n_chars long"
+
+
+def _plan_rows(spark, vals, k):
+    df = spark.createDataFrame(list(enumerate(vals)), SCHEMA)
+    return sorted(SP.range_partition_plan(df, n_buckets=k).collect(),
+                  key=lambda r: r.bucket)
+
+
+def test_uniform_balance(spark):
+    rows = _plan_rows(spark, list(range(800)), 8)
+    assert len(rows) == 8
+    assert all(r.n_docs == 100 for r in rows)
+    # ranges are disjoint and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_value < b.lo_value
+
+
+def test_heavy_value_never_splits(spark):
+    # 700 copies of ONE value + 100 distinct others → the heavy value
+    # lands in exactly one bucket (ranges cannot split a value)
+    vals = [500] * 700 + list(range(100))
+    rows = _plan_rows(spark, vals, 8)
+    heavy = [r for r in rows if r.lo_value <= 500 <= r.hi_value]
+    assert len(heavy) == 1
+    assert heavy[0].n_docs >= 700
+
+
+def test_total_conservation(spark):
+    vals = [(i * 37) % 251 for i in range(997)]
+    rows = _plan_rows(spark, vals, 5)
+    assert sum(r.n_docs for r in rows) == 997
+
+
+def test_parity(spark):
+    vals = [(i * 37) % 251 for i in range(400)]
+    df = spark.createDataFrame(list(enumerate(vals)), SCHEMA)
+    got = SP.range_partition_plan(df, 8).toPandas()
+    con = duckdb.connect()
+    con.execute("create table docs (doc_id bigint, n_chars bigint)")
+    con.executemany("insert into docs values (?, ?)", list(enumerate(vals)))
+    want = con.execute(SP.range_partition_plan_sql(8, "docs")).fetchdf()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True).astype(
+        g.dtypes.to_dict())
+    assert g.equals(w)
+
+
+def test_plan_no_bnlj(spark):
+    df = spark.createDataFrame([(i, i % 50) for i in range(200)], SCHEMA)
+    plan = (SP.range_partition_plan(df, 8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
