@@ -170,6 +170,16 @@ def _q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_heavy_hitters(_docs(spark, sf_dir), "source")
 
 
+def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-size estimation (r4): the optimizer
+    statistic |R ⋈ R on user_id| (F2 moment — the skew/broadcast decision
+    input) answered from the d×w matrix alone, with the one-sided
+    guarantee est ≥ exact; the exact recompute rides along as the
+    verification column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketch.selfjoin_size_estimate(ev, "user_id")
+
+
 def _q_sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width histogram quantile sketch (r4): one
     map-side-combinable groupBy per group; estimates within one bin width
@@ -2070,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_delta": _q_incremental_dedup_delta,  # batch-delta dedup (r4)
         "duplication_spectrum": _q_duplication_spectrum,  # dup-length profile (r4)
         "range_partition_plan": _q_range_partition_plan,  # equi-depth splits (r4)
+        "join_size_estimate": _q_join_size_estimate,  # CMS F2 cardinality (r4)
         "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
@@ -2468,6 +2479,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             threshold=MINHASH_T),
         "duplication_spectrum": dupspan.duplication_spectrum_sql(),
         "range_partition_plan": shardplan.range_partition_plan_sql(),
+        "join_size_estimate": sketch.selfjoin_size_estimate_sql(
+            "SELECT * FROM events", "user_id"),
         "phrase_search": phrase_op.phrase_search_sql(PHRASE_QUERIES),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),

@@ -335,3 +335,71 @@ SELECT {group}, CAST(pct AS BIGINT) AS pct, _n AS n,
        CAST(_bin * {bin_w} + ((_r - (_cum - _cnt)) * {bin_w}) // _cnt
             AS BIGINT) AS est
 FROM win WHERE _rn = 1"""
+
+
+# ---------------------------------------------- join-size (F2) estimation
+def selfjoin_size_estimate(df: DataFrame, item: str, d: int = CMS_D,
+                           w: int = CMS_W) -> DataFrame:
+    """Equi-join cardinality estimation from the Count-Min matrix — the
+    optimizer statistic a distributed planner wants BEFORE committing to a
+    join strategy: |R ⋈_k R| = Σ_key c(key)² (the F2 second moment, the
+    quantity that says "this key is skewed, salt it / don't broadcast").
+    The CMS inner-product estimator (Cormode-Muthukrishnan §4.2) answers
+    it from the d×w matrix alone: est = min_row Σ_col cnt[row][col]², with
+    the one-sided guarantee est ≥ exact (colliding keys only ADD cross
+    terms — pytest-proven).
+
+    One row out: (n_rows, n_keys, exact_join_size, cms_estimate,
+    over_millis). The exact side shuffles the key universe (it is the
+    verification, not the product); the sketch side aggregates to d·w
+    cells with map-side combine — at 100 TB you ship the matrix, not the
+    keys. Overflow: Σ cnt² ≤ (Σ cnt)² = n_rows², safe in int64 below ~3e9
+    rows per sketch scope."""
+    h = hash60_col(F.col(item).cast("string"))
+    probes_arr = F.array(*[
+        F.struct(F.lit(r).alias("_row"), _cms_col(h, r, w).alias("_col"))
+        for r in range(d)])
+    src = df.where(F.col(item).isNotNull())
+    cells = (src.select(F.explode(probes_arr).alias("_c"))
+             .groupBy(F.col("_c._row").alias("_row"),
+                      F.col("_c._col").alias("_col"))
+             .agg(F.count("*").cast("long").alias("_n")))
+    est = (cells.groupBy("_row")
+           .agg(F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_f2"))
+           .agg(F.min("_f2").cast("long").alias("cms_estimate")))
+    exact = (src.groupBy(item).agg(F.count("*").cast("long").alias("_c"))
+             .agg(F.sum("_c").cast("long").alias("n_rows"),
+                  F.count("*").cast("long").alias("n_keys"),
+                  F.sum(F.col("_c") * F.col("_c")).cast("long")
+                  .alias("exact_join_size")))
+    return (exact.crossJoin(F.broadcast(est))
+            .select("n_rows", "n_keys", "exact_join_size", "cms_estimate",
+                    F.expr("((cms_estimate - exact_join_size) * 1000)"
+                           " div exact_join_size").alias("over_millis")))
+
+
+def selfjoin_size_estimate_sql(table_sql: str, item: str, d: int = CMS_D,
+                               w: int = CMS_W) -> str:
+    h = hash60_sql(f"CAST({item} AS VARCHAR)")
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS _row, {_cms_col_sql(h, r, w)} AS _col "
+        f"FROM src WHERE {item} IS NOT NULL"
+        for r in range(d))
+    return f"""WITH src AS ({table_sql}),
+cells AS (
+  SELECT _row, _col, CAST(COUNT(*) AS BIGINT) AS _n
+  FROM ({cell_rows}) GROUP BY 1, 2
+), est AS (
+  SELECT CAST(MIN(_f2) AS BIGINT) AS cms_estimate
+  FROM (SELECT _row, SUM(_n * _n) AS _f2 FROM cells GROUP BY 1)
+), exact AS (
+  SELECT CAST(SUM(_c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(_c * _c) AS BIGINT) AS exact_join_size
+  FROM (SELECT {item}, COUNT(*) AS _c FROM src
+        WHERE {item} IS NOT NULL GROUP BY 1)
+)
+SELECT n_rows, n_keys, exact_join_size, cms_estimate,
+       ((cms_estimate - exact_join_size) * 1000) // exact_join_size
+         AS over_millis
+FROM exact, est"""

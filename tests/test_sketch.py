@@ -98,3 +98,30 @@ def test_hll_merge_is_max(spark):
            for r in merged.collect()}
     want = dict(zip(whole["lang"], whole["hll_s_int"]))
     assert got == want
+
+
+def test_selfjoin_size_estimate(spark):
+    from geoclimate_spark.operators import sketch as SK
+    import duckdb
+    # skewed keys: key 0 is hot
+    rows = [(i, 0 if i % 3 == 0 else i % 40) for i in range(600)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    r = SK.selfjoin_size_estimate(df, "user_id").collect()[0]
+    exact = 0
+    from collections import Counter
+    c = Counter(k for _, k in rows)
+    exact = sum(v * v for v in c.values())
+    assert r.exact_join_size == exact
+    assert r.n_rows == 600 and r.n_keys == len(c)
+    # CMS inner-product guarantee: one-sided overestimate
+    assert r.cms_estimate >= r.exact_join_size
+    assert r.over_millis >= 0
+    # parity
+    con = duckdb.connect()
+    con.execute("create table ev (event_id bigint, user_id bigint)")
+    con.executemany("insert into ev values (?, ?)", rows)
+    want = con.execute(SK.selfjoin_size_estimate_sql(
+        "SELECT * FROM ev", "user_id")).fetchdf().iloc[0]
+    for col in ("n_rows", "n_keys", "exact_join_size", "cms_estimate",
+                "over_millis"):
+        assert r.asDict()[col] == int(want[col]), col
