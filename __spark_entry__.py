@@ -57,6 +57,7 @@ from geoclimate_spark.operators import chunker as chunker_op
 from geoclimate_spark.operators import cdc as cdc_op
 from geoclimate_spark.operators import phrase as phrase_op
 from geoclimate_spark.operators import audio as audio_op
+from geoclimate_spark.operators import textfold as textfold_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import warc as warc_src
 from geoclimate_spark.sources import wkb as wkb_src
@@ -896,6 +897,15 @@ def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired with chained replaces over a deterministically corrupted
     page; repaired text md5 makes the path hash-gated. Pure codegen."""
     return mojibake.repair_mojibake(_docs(spark, sf_dir))
+
+
+def _q_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent/diacritic folding (r4): Latin-ASCII match normalization
+    (translate + ligature replaces, pure codegen) over deterministically
+    injected accented spans; folded-text md5 and exact changed-char
+    counts hash-gated."""
+    return textfold_op.fold_profile(
+        textfold_op.with_synthetic_accents(_docs(spark, sf_dir)))
 
 
 def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2074,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_pq": _q_ann_ivf_pq,  # product-quantized ADC + rerank (r4)
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
         "script_detect": _q_script_detect,  # Unicode-script histogram (r4)
+        "accent_fold": _q_accent_fold,  # Latin-ASCII fold (r4)
         "doc_chunks": _q_doc_chunks,  # token-window chunking (r4)
         "dedup_recall_report": _q_dedup_recall_report,  # LSH recall audit (r4)
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,  # gear-hash CDC chunks (r4)
@@ -2472,6 +2483,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(ANN_QUERY_IDS, ANN_K),
         "pii_scrub": pii.scrub_pii_sql(),
         "script_detect": scripts_op.script_profile_sql(),
+        "accent_fold": textfold_op.fold_profile_sql(),
         "doc_chunks": chunker_op.chunk_documents_sql(window=16, stride=12),
         "dedup_recall_report": dedup.lsh_recall_report_sql(MINHASH_T),
         "cdc_chunk_dedup": cdc_op.cdc_dedup_sql(),
