@@ -449,3 +449,24 @@ def test_warc_and_surt_plans(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1  # pack
     assert plan.count("MapInPandas") == 1            # parse
     assert plan.count("Exchange") == 1               # seg grouping only
+
+
+def test_round4_fifth_wave_plans(spark):
+    """Fifth wave: pure-JVM shapes — no cartesian/BNLJ, no Python eval;
+    accent_fold additionally shuffles nothing."""
+    import __spark_entry__ as E
+    for name in ("incremental_dedup_delta", "duplication_spectrum",
+                 "range_partition_plan", "join_size_estimate"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        if name in ("duplication_spectrum", "join_size_estimate"):
+            # 1-row aggregate × 1-row aggregate crosses (stats assembly)
+            # are deliberate single-row BNLJs — cost-free at any scale
+            assert plan.count("BroadcastNestedLoopJoin") <= 4
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+    plan = _plan(E.queries()["accent_fold"](spark, SF))
+    assert "Exchange" not in plan and "Join" not in plan
