@@ -181,6 +181,15 @@ def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.selfjoin_size_estimate(ev, "user_id")
 
 
+def _q_zonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language median absolute deviation (r4): the robust
+    dispersion an outlier gate wants (stddev is corrupted by the outliers
+    it should flag; MAD has 50% breakdown). Two rank-window passes, both
+    interpolations integer-derived — doubles replay bit-for-bit."""
+    rows = _docs(spark, sf_dir).select("lang", "n_chars")
+    return zonal.exact_mad(rows, "lang", "n_chars")
+
+
 def _q_sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width histogram quantile sketch (r4): one
     map-side-combinable groupBy per group; estimates within one bin width
@@ -2092,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplication_spectrum": _q_duplication_spectrum,  # dup-length profile (r4)
         "range_partition_plan": _q_range_partition_plan,  # equi-depth splits (r4)
         "join_size_estimate": _q_join_size_estimate,  # CMS F2 cardinality (r4)
+        "zonal_mad": _q_zonal_mad,  # robust dispersion (r4)
         "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
@@ -2493,6 +2503,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "range_partition_plan": shardplan.range_partition_plan_sql(),
         "join_size_estimate": sketch.selfjoin_size_estimate_sql(
             "SELECT * FROM events", "user_id"),
+        "zonal_mad": zonal.exact_mad_sql(
+            "SELECT lang, n_chars FROM documents", "lang", "n_chars"),
         "phrase_search": phrase_op.phrase_search_sql(PHRASE_QUERIES),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),

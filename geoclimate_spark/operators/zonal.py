@@ -297,3 +297,67 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY {key}
 SELECT {key}, {cat_col} AS mode_{cat_col}, CAST(_w AS BIGINT) AS mode_weight,
        CAST(_n AS BIGINT) AS mode_rows
 FROM ranked WHERE _rn = 1"""
+
+
+def exact_mad(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Exact median absolute deviation per group: (key, n_rows, median,
+    mad) — the robust dispersion statistic outlier gates want at corpus
+    scale (stddev is itself corrupted by the outliers it should flag; MAD
+    is 50 %-breakdown). median = exact_quantiles' p50 rank arithmetic;
+    mad = the same arithmetic applied to |x − median|.
+
+    Two window sorts per group (values, then deviations) — the same
+    shuffle budget as running two ranking ops; deviations join the 1-row-
+    per-group median via a broadcast hash join. Interpolation fractions
+    stay integer-derived, so both doubles replay bit-for-bit in DuckDB."""
+    med = (exact_quantiles(df, key, value, qs=(50,))
+           .select(key, F.col("n_rows"),
+                   F.col(f"p50_{value}").alias("_med")))
+    dev = (df.select(key, F.col(value).cast("long").alias("_v"))
+           .join(F.broadcast(med), key)
+           .withColumn("_d", F.abs(F.col("_v").cast("double")
+                                   - F.col("_med"))))
+    w = Window.partitionBy(key).orderBy(F.col("_d").asc())
+    t = (dev.withColumn("_rk", F.row_number().over(w) - 1)
+         .withColumn("_n", F.count("*").over(Window.partitionBy(key))))
+    pos = (F.col("_n") - 1) * 50
+    lo = F.floor(pos / 100).cast("long")
+    fr = pos % 100
+    vlo = F.max(F.when(F.col("_rk") == lo, F.col("_d")))
+    vhi = F.max(F.when(F.col("_rk") == F.least(lo + 1, F.col("_n") - 1),
+                       F.col("_d")))
+    return (t.groupBy(key, "n_rows", "_med")
+            .agg((vlo + (vhi - vlo) * F.max(fr).cast("double")
+                  / F.lit(100.0)).alias("mad"))
+            .select(key, "n_rows", F.col("_med").alias("median"), "mad"))
+
+
+def exact_mad_sql(rows_sql: str, key: str, value: str) -> str:
+    """DuckDB dual of :func:`exact_mad` (same two-stage rank arithmetic)."""
+    return f"""WITH rows_in AS ({rows_sql}),
+t1 AS (SELECT {key}, CAST({value} AS BIGINT) AS v,
+        ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {value} ASC) - 1 AS rk,
+        COUNT(*) OVER (PARTITION BY {key}) AS n
+  FROM rows_in),
+med AS (SELECT {key}, CAST(MAX(n) AS BIGINT) AS n_rows,
+        CAST(MAX(CASE WHEN rk = (((n - 1) * 50) // 100) THEN v END) AS DOUBLE)
+        + CAST(MAX(CASE WHEN rk = LEAST((((n - 1) * 50) // 100) + 1, n - 1)
+                        THEN v END)
+               - MAX(CASE WHEN rk = (((n - 1) * 50) // 100) THEN v END)
+               AS DOUBLE)
+          * CAST(MAX(((n - 1) * 50) % 100) AS DOUBLE) / 100.0 AS _med
+  FROM t1 GROUP BY {key}),
+t2 AS (SELECT r.{key}, m.n_rows, m._med,
+        ABS(CAST(CAST(r.{value} AS BIGINT) AS DOUBLE) - m._med) AS d,
+        ROW_NUMBER() OVER (PARTITION BY r.{key}
+          ORDER BY ABS(CAST(CAST(r.{value} AS BIGINT) AS DOUBLE) - m._med) ASC)
+          - 1 AS rk,
+        COUNT(*) OVER (PARTITION BY r.{key}) AS n
+  FROM rows_in r JOIN med m USING ({key}))
+SELECT {key}, n_rows, _med AS median,
+       MAX(CASE WHEN rk = (((n - 1) * 50) // 100) THEN d END)
+       + (MAX(CASE WHEN rk = LEAST((((n - 1) * 50) // 100) + 1, n - 1)
+              THEN d END)
+          - MAX(CASE WHEN rk = (((n - 1) * 50) // 100) THEN d END))
+         * CAST(MAX(((n - 1) * 50) % 100) AS DOUBLE) / 100.0 AS mad
+FROM t2 GROUP BY {key}, n_rows, _med"""

@@ -61,3 +61,32 @@ def test_merge_equivalence(frames):
               for r in S.histogram_quantiles(halves, "lang",
                                              "n_chars").collect()}
     assert whole == merged
+
+
+def test_exact_mad(spark):
+    """MAD vs numpy on odd/even group sizes + outlier robustness."""
+    import numpy as np
+    import duckdb
+    from geoclimate_spark.operators import zonal as Z
+    rows = ([("a", v) for v in [1, 2, 3, 4, 100]]        # outlier group
+            + [("b", v) for v in [10, 20, 30, 40]]        # even size
+            + [("c", v) for v in [7]])                    # singleton
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    got = {r.lang: r for r in Z.exact_mad(df, "lang", "n_chars").collect()}
+    for g in ("a", "b", "c"):
+        vals = np.array([v for k, v in rows if k == g], dtype=float)
+        med = np.percentile(vals, 50, method="linear")
+        mad = np.percentile(np.abs(vals - med), 50, method="linear")
+        assert got[g].median == med, g
+        assert got[g].mad == mad, g
+    # robustness: group a's MAD ignores the 100 outlier (std would not)
+    assert got["a"].mad <= 2.0
+    # parity
+    con = duckdb.connect()
+    con.execute("create table r (lang varchar, n_chars bigint)")
+    con.executemany("insert into r values (?, ?)", rows)
+    want = con.execute(Z.exact_mad_sql("SELECT * FROM r", "lang",
+                                       "n_chars")).fetchdf()
+    for w in want.itertuples():
+        r = got[w.lang]
+        assert (r.n_rows, r.median, r.mad) == (w.n_rows, w.median, w.mad)
