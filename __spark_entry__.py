@@ -1743,6 +1743,54 @@ def _q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermark semantics driver-proven: two single-file
+    availableNow drains where chunk 2 (ids ≥ STREAM_SPLIT_ID) carries
+    events across the WHOLE time range — most of its rows are LATE beyond
+    the 2h watermark set by drain 1 and must be DROPPED. Final appended
+    rows = windows finalized at drain 1 with chunk-1-only counts, plus
+    windows finalized at drain 2 with combined counts; never-finalized
+    tail windows stay unemitted. The oracle replays exactly that
+    arithmetic (wm1/wm2 from the shared epoch derivation), so Spark's
+    late-data drop rule itself is hash-gated. Each chunk is coalesced to
+    ONE file so each drain is ONE micro-batch (watermark advances only
+    between drains — deterministic)."""
+    import shutil
+    import tempfile
+
+    from pathlib import Path as _P
+
+    from geoclimate_spark.streaming import ingest as stream_ingest
+
+    tmp = _P(tempfile.mkdtemp(prefix="gc_stream_late_"))
+    try:
+        pages = pages_from_documents(spark, sf_dir)
+        (pages.where(F.col("page_id") < STREAM_SPLIT_ID).coalesce(1)
+         .write.mode("overwrite").parquet(str(tmp / "in" / "chunk1")))
+
+        def drain():
+            agg = stream_ingest.windowed_tile_counts(
+                stream_ingest.stream_pages(spark, str(tmp / "in" / "*")))
+            q = (agg.writeStream.format("parquet")
+                 .option("path", str(tmp / "out"))
+                 .option("checkpointLocation", str(tmp / "ck"))
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        drain()
+        (pages.where(F.col("page_id") >= STREAM_SPLIT_ID).coalesce(1)
+         .write.mode("overwrite").parquet(str(tmp / "in" / "chunk2")))
+        drain()
+        return (spark.read.parquet(str(tmp / "out"))
+                .select(F.col("window_start").cast("long")
+                        .alias("window_start_s"),
+                        "tile_id",
+                        F.col("n_pages").cast("long").alias("n_pages"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator driver-verified end-to-end:
     gap-threshold sessionization via ``applyInPandasWithState``
@@ -2090,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "population_multilevel": _q_population_multilevel,
         "zone_svf_points": _q_zone_svf,
         "streaming_sessions": _q_streaming_sessions,  # applyInPandasWithState (r4)
+        "streaming_late_data": _q_streaming_late_data,  # watermark drops (r4)
         "ann_topk_ivf_pq": _q_ann_ivf_pq,  # product-quantized ADC + rerank (r4)
         "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
         "script_detect": _q_script_detect,  # Unicode-script histogram (r4)
@@ -2529,6 +2578,29 @@ SELECT CAST((warc_epoch - warc_epoch % 3600) AS BIGINT) AS window_start_s,
        COUNT(*) AS n_pages
 FROM pages WHERE lon_e6 IS NOT NULL
 GROUP BY 1, 2""",
+        "streaming_late_data": f"""{_PAGES_CTE}
+, geo AS (
+  SELECT page_id, warc_epoch,
+         CAST((warc_epoch - warc_epoch % 3600) AS BIGINT) AS ws,
+         CAST({tile_op.tile_sql("lon_e6", "lat_e6", TILE_RES)} AS BIGINT)
+           AS tile_id
+  FROM pages WHERE lon_e6 IS NOT NULL
+), wm AS (
+  SELECT (SELECT MAX(warc_epoch) - 7200 FROM geo
+          WHERE page_id < {STREAM_SPLIT_ID}) AS wm1,
+         (SELECT MAX(warc_epoch) - 7200 FROM geo) AS wm2
+), c1 AS (
+  SELECT ws, tile_id, CAST(COUNT(*) AS BIGINT) AS n_pages FROM geo
+  WHERE page_id < {STREAM_SPLIT_ID} GROUP BY 1, 2
+), call AS (
+  SELECT ws, tile_id, CAST(COUNT(*) AS BIGINT) AS n_pages FROM geo
+  GROUP BY 1, 2
+)
+SELECT ws AS window_start_s, tile_id, n_pages FROM c1, wm
+WHERE ws + 3600 <= wm.wm1
+UNION ALL
+SELECT ws AS window_start_s, tile_id, n_pages FROM call, wm
+WHERE ws + 3600 > wm.wm1 AND ws + 3600 <= wm.wm2""",
         "page_zorder_keys": f"""{_PAGES_CTE}
 SELECT page_id, {grid.zorder_sql("lon_e6", "lat_e6")} AS zkey
 FROM pages WHERE lon_e6 IS NOT NULL""",

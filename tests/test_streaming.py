@@ -88,3 +88,57 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     for c in ["user_id", "session_id", "n_events", "start_us", "end_us",
               "duration_us"]:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_append_mode_watermark_drops(spark, tmp_path):
+    """Hand-built late arrival: drain 1 advances the watermark past an
+    early window; drain 2's late row for that window is DROPPED, its
+    on-time rows aggregate, and the open tail window never emits."""
+    import pyspark.sql.functions as F
+    from geoclimate_spark.streaming import ingest as I
+    from geoclimate_spark.operators.tile import TILE_RES, tile_col
+    from geoclimate_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001") \
+        .where(F.col("page_id") < 60)
+
+    c1 = pages.where(F.col("page_id") % 2 == 0)   # even ids: full range
+    c2 = pages.where(F.col("page_id") % 2 == 1)   # odd ids: mostly late
+    c1.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "in" / "c1"))
+
+    def drain():
+        agg = I.windowed_tile_counts(
+            I.stream_pages(spark, str(tmp_path / "in" / "*")))
+        q = (agg.writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    out1 = spark.read.parquet(str(tmp_path / "out")).count()
+    c2.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "in" / "c2"))
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+
+    # arithmetic replay of the drop rule (batch path of the SAME agg)
+    e1 = I.enriched_stream(c1)
+    ea = I.enriched_stream(pages)
+    wm1 = e1.agg(F.max(F.unix_timestamp("warc_ts"))).collect()[0][0] - 7200
+    wm2 = ea.agg(F.max(F.unix_timestamp("warc_ts"))).collect()[0][0] - 7200
+    w1 = I.windowed_tile_counts(c1)
+    wa = I.windowed_tile_counts(pages)
+    exp1 = w1.where(F.unix_timestamp("window_end") <= wm1).count()
+    expboth = wa.where((F.unix_timestamp("window_end") > wm1)
+                       & (F.unix_timestamp("window_end") <= wm2)).count()
+    assert out1 == exp1
+    assert out.count() == exp1 + expboth
+    # at least one window actually received a DROPPED late row: some odd-id
+    # row falls in a window finalized at drain 1
+    dropped = (I.enriched_stream(c2)
+               .where(F.unix_timestamp("warc_ts")
+                      - F.unix_timestamp("warc_ts") % 3600 + 3600 <= wm1)
+               .count())
+    assert dropped > 0
