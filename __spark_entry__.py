@@ -1184,6 +1184,26 @@ def _q_skewed_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("max_chars").cast("long").alias("max_chars"))
 
 
+def _q_salted_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (r4): hot-tile pages joined to a tile
+    dimension (a deterministic subset carrying region codes) with the
+    fact side salted 8 ways and the dim replicated — the manual AQE
+    skew-join split for paths where AQE cannot apply. The ORACLE is the
+    PLAIN join + rollup, so salted ≡ unsalted end-to-end is the driver
+    check itself."""
+    g = flagship.geo_pages(pages_from_documents(spark, sf_dir))
+    fact = (g.withColumn("chars", F.length("text_extracted").cast("long"))
+            .withColumn("tile_id", tile_op.tile_col(
+                F.col("lon_e6"), F.col("lat_e6"), TILE_RES)))
+    dim = (fact.select("tile_id").distinct()
+           .where(F.col("tile_id") % 3 != 1)
+           .withColumn("region_code", (F.col("tile_id") % 7).cast("long")))
+    j = skew.salted_join(fact, dim, "tile_id", n_salts=8, id_col="page_id")
+    return (j.groupBy("region_code")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum("chars").cast("long").alias("total_chars")))
+
+
 def _q_tile_lod(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _geo_points(spark, sf_dir)
     # persisted: consumed by the res-7 output branch AND the level chain
@@ -2151,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_partition_plan": _q_range_partition_plan,  # equi-depth splits (r4)
         "join_size_estimate": _q_join_size_estimate,  # CMS F2 cardinality (r4)
         "zonal_mad": _q_zonal_mad,  # robust dispersion (r4)
+        "salted_tile_join": _q_salted_tile_join,  # skew-safe join (r4)
         "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
@@ -2604,6 +2625,14 @@ WHERE ws + 3600 > wm.wm1 AND ws + 3600 <= wm.wm2""",
         "page_zorder_keys": f"""{_PAGES_CTE}
 SELECT page_id, {grid.zorder_sql("lon_e6", "lat_e6")} AS zkey
 FROM pages WHERE lon_e6 IS NOT NULL""",
+        "salted_tile_join": f"""{_PAGES_CTE}
+SELECT CAST(({tile_op.tile_sql("lon_e6", "lat_e6", TILE_RES)}) % 7 AS BIGINT)
+         AS region_code,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM pages WHERE lon_e6 IS NOT NULL
+  AND ({tile_op.tile_sql("lon_e6", "lat_e6", TILE_RES)}) % 3 <> 1
+GROUP BY 1""",
         "skewed_tile_counts_salted": f"""{_PAGES_CTE}
 SELECT CAST({tile} AS BIGINT) AS tile_id, COUNT(*) AS n_pages,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,

@@ -155,3 +155,24 @@ def test_layer_difference_set_algebra(spark):
     d = (overlay.layer_difference(combos, ["a", "b"], "a", "b")
          .collect())
     assert len(d) == 1 and d[0].diff_area_e6sq == 40  # 6x10 minus 2x10 overlap
+
+
+def test_salted_join_equals_plain(spark):
+    from pyspark.sql import functions as F
+    from geoclimate_spark.operators import skew as SK
+    fact = spark.createDataFrame(
+        [(i, 0 if i % 2 == 0 else i % 5, i * 3) for i in range(400)],
+        "page_id long, tile_id long, v long")  # key 0 is hot (half the rows)
+    dim = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(4)], "tile_id long, region string")
+    salted = SK.salted_join(fact, dim, "tile_id", n_salts=8,
+                            id_col="page_id")
+    plain = fact.join(dim, "tile_id")
+    cols = ["tile_id", "page_id", "v", "region"]
+    a = sorted(tuple(r) for r in salted.select(cols).collect())
+    b = sorted(tuple(r) for r in plain.select(cols).collect())
+    assert a == b and len(a) > 0
+    # rows of the hot key actually spread across salts before the join
+    spread = (SK.with_salt(fact.where(F.col("tile_id") == 0), 8, "page_id")
+              .select("_salt").distinct().count())
+    assert spread > 1
