@@ -660,6 +660,15 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.dataset_split(_docs(spark, sf_dir))
 
 
+def _q_domain_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-grouped train/val/test split (r4): membership hashes the
+    HOST, not the document, so no site straddles splits — the hygiene
+    document-level splits miss (same-site templates leak even with zero
+    near-dup pairs). The recomputed straddle audit must be 0; scan-
+    projection split key, no join/window."""
+    return curation.grouped_split(_docs(spark, sf_dir), urlnorm._HOST_SQL)
+
+
 def _q_rocchio_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine linear-classifier fit (exact-integer Rocchio/nearest-
     centroid over hash-bucket counts); the trained model itself is the
@@ -2172,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": _q_join_size_estimate,  # CMS F2 cardinality (r4)
         "zonal_mad": _q_zonal_mad,  # robust dispersion (r4)
         "salted_tile_join": _q_salted_tile_join,  # skew-safe join (r4)
+        "domain_grouped_split": _q_domain_grouped_split,  # host-level split (r4)
         "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
@@ -2575,6 +2585,8 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             "SELECT * FROM events", "user_id"),
         "zonal_mad": zonal.exact_mad_sql(
             "SELECT lang, n_chars FROM documents", "lang", "n_chars"),
+        "domain_grouped_split": curation.grouped_split_sql(
+            "documents", urlnorm._HOST_SQL.replace("AS STRING", "AS VARCHAR")),
         "phrase_search": phrase_op.phrase_search_sql(PHRASE_QUERIES),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),

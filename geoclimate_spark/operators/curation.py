@@ -350,3 +350,64 @@ def priority_sample_sql(k: int = 64, docs_rel: str = "documents",
 )
 SELECT doc_id, {keep}w, q, greatest(CAST(w AS DOUBLE), tau) AS w_hat
 FROM ranked, tau WHERE rank <= {k}"""
+
+
+def grouped_split(docs: DataFrame, group_expr_spark: str,
+                  train_bp: int = 8000, val_bp: int = 1000,
+                  seed: int = 7, size_col: str = "n_chars") -> DataFrame:
+    """Domain-GROUPED train/val/test split (the GroupShuffleSplit
+    discipline): membership hashes the GROUP (host / registrable domain),
+    not the document, so every page of a host lands in ONE split — the
+    hygiene that stops same-site boilerplate and templates leaking from
+    train into eval (document-level splits fail this even with zero
+    near-dup pairs: two different pages of one host share everything the
+    model memorizes about the site).
+
+    Output: per-(split) rollup (n_docs, n_groups, chars_total) PLUS the
+    audit column ``n_straddling_groups`` — groups seen in more than one
+    split, which must be 0 BY CONSTRUCTION (the split is a pure function
+    of the group key) and is recomputed from the data, not assumed.
+
+    Scale: the group key and split are scan-projection expressions; the
+    rollup is one hash agg + one distinct-group agg — no join against a
+    group table, no window."""
+    g = F.expr(group_expr_spark)
+    part = F.pmod(hash60_seeded_col(seed, g), F.lit(10000))
+    split = (F.when(part < train_bp, F.lit("train"))
+             .when(part < train_bp + val_bp, F.lit("val"))
+             .otherwise(F.lit("test")))
+    base = docs.select(split.alias("split"), g.alias("grp"),
+                       F.col(size_col).cast("long").alias("_sz"))
+    per_split = (base.groupBy("split")
+                 .agg(F.count("*").cast("long").alias("n_docs"),
+                      F.countDistinct("grp").cast("long").alias("n_groups"),
+                      F.sum("_sz").cast("long").alias("chars_total")))
+    straddle = (base.select("grp", "split").distinct()
+                .groupBy("grp").agg(F.count("*").alias("_ns"))
+                .agg(F.count_if(F.col("_ns") > 1).cast("long")
+                     .alias("n_straddling_groups")))
+    return per_split.crossJoin(F.broadcast(straddle))
+
+
+def grouped_split_sql(docs_rel: str, group_expr_sql: str,
+                      train_bp: int = 8000, val_bp: int = 1000,
+                      seed: int = 7, size_sql: str = "n_chars") -> str:
+    h = hash60_seeded_sql(seed, group_expr_sql)
+    part = f"((({h}) % 10000) + 10000) % 10000"
+    return f"""WITH base AS (
+  SELECT CASE WHEN {part} < {train_bp} THEN 'train'
+              WHEN {part} < {train_bp + val_bp} THEN 'val'
+              ELSE 'test' END AS split,
+         {group_expr_sql} AS grp,
+         CAST({size_sql} AS BIGINT) AS _sz
+  FROM {docs_rel}),
+per_split AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+         CAST(SUM(_sz) AS BIGINT) AS chars_total
+  FROM base GROUP BY split),
+straddle AS (
+  SELECT CAST(count(*) FILTER (_ns > 1) AS BIGINT) AS n_straddling_groups
+  FROM (SELECT grp, COUNT(DISTINCT split) AS _ns FROM base GROUP BY grp))
+SELECT split, n_docs, n_groups, chars_total, n_straddling_groups
+FROM per_split, straddle"""

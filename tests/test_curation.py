@@ -87,3 +87,31 @@ def test_repetition_detects_repeated_text(spark):
     assert got[1].top_bigram_frac == 1.0
     assert got[2].dup_token_frac == 0.0
     assert got[2].dup_bigram_frac == 0.0
+
+
+def test_grouped_split(spark):
+    """Every group lands in exactly one split; counts conserve; parity."""
+    import duckdb
+    from geoclimate_spark.operators import curation as CU
+    docs = [(i, "t", "en", 10 + i) for i in range(300)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, n_chars long")
+    gexpr = "concat('h', CAST(doc_id % 23 AS STRING), '.example.com')"
+    rows = CU.grouped_split(df, gexpr).collect()
+    assert sum(r.n_docs for r in rows) == 300
+    assert sum(r.n_groups for r in rows) == 23   # partition of the groups
+    assert all(r.n_straddling_groups == 0 for r in rows)
+    # all three splits materialize on 23 groups at 80/10/10 only if the
+    # hash lands that way — at least train must be populated
+    assert any(r.split == "train" and r.n_docs > 0 for r in rows)
+    con = duckdb.connect()
+    con.execute("create table docs (doc_id bigint, text varchar,"
+                " lang varchar, n_chars bigint)")
+    con.executemany("insert into docs values (?, ?, ?, ?)", docs)
+    want = con.execute(CU.grouped_split_sql(
+        "docs", gexpr.replace("AS STRING", "AS VARCHAR"))).fetchdf()
+    got = {r.split: (r.n_docs, r.n_groups, r.chars_total,
+                     r.n_straddling_groups) for r in rows}
+    exp = {w.split: (w.n_docs, w.n_groups, w.chars_total,
+                     w.n_straddling_groups) for w in want.itertuples()}
+    assert got == exp
