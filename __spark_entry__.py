@@ -660,6 +660,15 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.dataset_split(_docs(spark, sf_dir))
 
 
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (r4): view→click→signup→purchase with
+    first-occurrence-ordering semantics, computed in ONE groupBy(user)
+    pass (cascaded conditional MINs — no self-joins, no event-stream
+    window); per-stage user counts + exact integer conversion share."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.event_funnel(ev)
+
+
 def _q_domain_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-grouped train/val/test split (r4): membership hashes the
     HOST, not the document, so no site straddles splits — the hygiene
@@ -2182,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mad": _q_zonal_mad,  # robust dispersion (r4)
         "salted_tile_join": _q_salted_tile_join,  # skew-safe join (r4)
         "domain_grouped_split": _q_domain_grouped_split,  # host-level split (r4)
+        "event_funnel": _q_event_funnel,  # ordered conversion funnel (r4)
         "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
@@ -2587,6 +2597,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
             "SELECT lang, n_chars FROM documents", "lang", "n_chars"),
         "domain_grouped_split": curation.grouped_split_sql(
             "documents", urlnorm._HOST_SQL.replace("AS STRING", "AS VARCHAR")),
+        "event_funnel": windows.event_funnel_sql(),
         "phrase_search": phrase_op.phrase_search_sql(PHRASE_QUERIES),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),

@@ -128,3 +128,88 @@ def emitted_sessions_sql(gap_sec: int, rel: str = "events",
 mx AS (SELECT {user}, MAX(session_id) AS last_sid FROM s GROUP BY {user})
 SELECT s.{user}, s.session_id, s.n_events, s.start_us, s.end_us, s.duration_us
 FROM s JOIN mx USING ({user}) WHERE s.session_id < mx.last_sid"""
+
+
+# ------------------------------------------------------------ funnel analysis
+FUNNEL_STAGES = ("view", "click", "signup", "purchase")
+
+
+def event_funnel(events: DataFrame,
+                 stages: tuple[str, ...] = FUNNEL_STAGES) -> DataFrame:
+    """Ordered funnel conversion over the event stream: per user, stage k
+    is REACHED iff the user's FIRST stages[k] event occurs strictly AFTER
+    their stage-(k-1) reach time (first-occurrence-ordering semantics —
+    the common product-analytics funnel). Output one row per stage:
+    (stage_idx, stage, n_users, conv_millis) where conv_millis is the
+    exact integer share of stage-0 reachers still present.
+
+    Scale: ONE groupBy(user) pass computes every stage's first-reach time
+    via nested conditional MINs (no self-joins, no window over the event
+    stream — the k-stage dependency folds into k cascaded aggregates over
+    the SAME shuffle); the stage rollup is a ≤k-row aggregate.
+
+    Timestamp ties: "strictly after" — an equal-timestamp next-stage
+    event does NOT count (identical rule in both engines; the fixture's
+    microsecond timestamps make ties improbable but the rule is pinned)."""
+    ts = F.col("ts").cast("timestamp")
+    per_user = events.groupBy("user_id").agg(
+        *[F.min(F.when(F.col("event_type") == s, ts)).alias(f"_t{i}")
+          for i, s in enumerate(stages)])
+    reach = per_user
+    prev = None
+    for i in range(len(stages)):
+        cur = F.col(f"_t{i}")
+        if prev is None:
+            r = cur
+        else:
+            r = F.when(prev.isNotNull() & cur.isNotNull() & (cur > prev),
+                       cur)
+        reach = reach.withColumn(f"_r{i}", r)
+        prev = F.col(f"_r{i}")
+    # pinned rule (the "first-occurrence ordering" funnel): stage k is
+    # reached iff the user's FIRST stages[k] event falls strictly after
+    # their reach time of stage k-1 — one aggregate pass, no re-scan
+    aggs = []
+    for i, s in enumerate(stages):
+        aggs.append(F.count_if(F.col(f"_r{i}").isNotNull())
+                    .cast("long").alias(f"n{i}"))
+    counts = reach.agg(*aggs)
+    rows = None
+    for i, s in enumerate(stages):
+        one = counts.select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col(f"n{i}").alias("n_users"),
+            F.expr(f"CASE WHEN n0 = 0 THEN 0 "
+                   f"ELSE (n{i} * 1000) div n0 END").alias("conv_millis"))
+        rows = one if rows is None else rows.unionAll(one)
+    return rows
+
+
+def event_funnel_sql(events_rel: str = "events",
+                     stages: tuple[str, ...] = FUNNEL_STAGES) -> str:
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN ts END) AS _t{i}"
+        for i, s in enumerate(stages))
+    reach_cols = ["_t0 AS _r0"]
+    for i in range(1, len(stages)):
+        reach_cols.append(
+            f"CASE WHEN _r{i - 1} IS NOT NULL AND _t{i} IS NOT NULL "
+            f"AND _t{i} > _r{i - 1} THEN _t{i} END AS _r{i}")
+    # cascade: each _r references the previous, so nest the selects
+    inner = f"SELECT user_id, {mins} FROM {events_rel} GROUP BY user_id"
+    cur = f"SELECT *, _t0 AS _r0 FROM ({inner})"
+    for i in range(1, len(stages)):
+        cur = (f"SELECT *, CASE WHEN _r{i - 1} IS NOT NULL AND _t{i} IS NOT "
+               f"NULL AND _t{i} > _r{i - 1} THEN _t{i} END AS _r{i} "
+               f"FROM ({cur})")
+    counts = ", ".join(
+        f"CAST(count(*) FILTER (_r{i} IS NOT NULL) AS BIGINT) AS n{i}"
+        for i in range(len(stages)))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage_idx, '{s}' AS stage, "
+        f"n{i} AS n_users, CASE WHEN n0 = 0 THEN 0 "
+        f"ELSE (n{i} * 1000) // n0 END AS conv_millis FROM c"
+        for i, s in enumerate(stages))
+    return f"""WITH c AS (SELECT {counts} FROM ({cur}))
+{unions}"""
