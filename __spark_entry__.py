@@ -1001,6 +1001,15 @@ def _q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            threshold=MINHASH_T)
 
 
+def _q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster quality audit (r4): per-cluster pair count +
+    min/max verified jaccard — the chaining detector (transitive closure
+    merges A~B~C even when jaccard(A,C) is low; min ≪ threshold flags a
+    lossy canonical-doc dedup). Order-independent aggregates only, so
+    hash-gated exactly."""
+    return dedup.cluster_cohesion(_docs(spark, sf_dir), MINHASH_T)
+
+
 def _q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (r4): Gear rolling hash (unrolled 32-term
     closed form, md5-derived gear table) cuts shift-robust storage chunks;
@@ -2192,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_tile_join": _q_salted_tile_join,  # skew-safe join (r4)
         "domain_grouped_split": _q_domain_grouped_split,  # host-level split (r4)
         "event_funnel": _q_event_funnel,  # ordered conversion funnel (r4)
+        "cluster_cohesion": _q_cluster_cohesion,  # chaining detector (r4)
         "phrase_search": _q_phrase_search,  # positional phrase match (r4)
         "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
         "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
@@ -2598,6 +2608,7 @@ FROM pages WHERE lon_e6 IS NOT NULL""",
         "domain_grouped_split": curation.grouped_split_sql(
             "documents", urlnorm._HOST_SQL.replace("AS STRING", "AS VARCHAR")),
         "event_funnel": windows.event_funnel_sql(),
+        "cluster_cohesion": dedup.cluster_cohesion_sql(MINHASH_T),
         "phrase_search": phrase_op.phrase_search_sql(PHRASE_QUERIES),
         "priority_sample": curation.priority_sample_sql(k=64),
         "gopher_quality_flags": qualityrules.gopher_flags_sql(),

@@ -630,3 +630,63 @@ SELECT id_a, id_b, jaccard,
             THEN 'delta_vs_delta' ELSE 'delta_vs_base' END AS pair_kind
 FROM full_pairs
 WHERE id_a % {delta_mod} = 0 OR id_b % {delta_mod} = 0"""
+
+
+# --------------------------------------------------- cluster cohesion audit
+def cluster_cohesion(docs: DataFrame, threshold: float = 0.8,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Near-dup cluster quality audit: per multi-doc cluster
+    (component, component_size, n_pairs, min_jaccard, max_jaccard) — the
+    check that catches CHAINING, transitive-closure clustering's failure
+    mode (A~B~C merges A and C even when jaccard(A,C) is low; a cluster
+    whose min_jaccard is far below the threshold was built by chaining
+    and a canonical-doc dedup of it is lossy). min/max are
+    order-independent aggregates — no double-summation
+    nondeterminism — so the audit is hash-gated exactly.
+
+    Composes the shipping machinery: verified LSH pairs + pointer-doubling
+    components; one extra equi-join (pair → cluster of its left end — both
+    ends share a cluster by construction) + one groupBy(component)."""
+    from .components import connected_components
+    pairs = minhash_near_duplicates(docs, threshold, id_col,
+                                    text_col).persist()
+    verts = docs.select(F.col(id_col))
+    comp = connected_components(verts, pairs.select("id_a", "id_b"),
+                                key=id_col)
+    j = pairs.join(comp.select(F.col(id_col).alias("id_a"),
+                               "component", "component_size"), "id_a")
+    return (j.groupBy("component", "component_size")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.min("jaccard").alias("min_jaccard"),
+                 F.max("jaccard").alias("max_jaccard"))
+            .select("component",
+                    F.col("component_size").cast("long")
+                    .alias("component_size"),
+                    "n_pairs", "min_jaccard", "max_jaccard"))
+
+
+def cluster_cohesion_sql(threshold: float = 0.8, doc_rel: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    pairs = minhash_lsh_sql(threshold, doc_rel, id_col, text_col)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+verts AS (SELECT {id_col} AS id FROM {doc_rel}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id, id FROM verts),
+reach(src, dst) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+comp AS (SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src),
+sizes AS (SELECT component, COUNT(*) AS component_size
+          FROM comp GROUP BY component)
+SELECT c.component,
+       CAST(s.component_size AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(p.jaccard) AS min_jaccard,
+       MAX(p.jaccard) AS max_jaccard
+FROM pairs p JOIN comp c ON c.id = p.id_a
+JOIN sizes s USING (component)
+GROUP BY c.component, s.component_size"""

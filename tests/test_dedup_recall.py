@@ -89,3 +89,38 @@ def test_incremental_delta_equals_filtered_full(spark):
     for (a, b), (_, kind) in inc.items():
         exp = "delta_vs_delta" if (a % 4 == 0 and b % 4 == 0) else "delta_vs_base"
         assert kind == exp
+
+
+def test_cluster_cohesion_detects_chaining(spark):
+    """A chained cluster (A~B, B~C, A!~C) reports min_jaccard well below
+    the pairwise minimum of a tight twin cluster."""
+    mid = BASE
+    a = "prefix words here " + mid
+    c = mid + " suffix words here tail"
+    docs = ([(0, a, "en"), (1, mid, "en"), (2, c, "en")]   # chain A~B~C
+            + [(10, "entirely different twin corpus text block with many "
+                    "unique tokens nobody else repeats anywhere", "en"),
+               (11, "entirely different twin corpus text block with many "
+                    "unique tokens nobody else repeats anywhere", "en")]
+            + [(20 + i, f"noise doc {i} topic{i} {i*13}", "en")
+               for i in range(6)])
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    rows = {r.component: r
+            for r in D.cluster_cohesion(df, threshold=0.55).collect()}
+    assert 0 in rows and 10 in rows
+    chain, twins = rows[0], rows[10]
+    assert chain.component_size == 3
+    assert twins.min_jaccard == 1.0 and twins.max_jaccard == 1.0
+    # the chain's weakest verified link sits below the twins' cohesion
+    assert chain.min_jaccard < 1.0
+    # parity
+    import duckdb
+    con = duckdb.connect()
+    con.execute("create table docs (doc_id bigint, text varchar, lang varchar)")
+    con.executemany("insert into docs values (?, ?, ?)", docs)
+    want = con.execute(D.cluster_cohesion_sql(0.55, "docs")).fetchdf()
+    got = {(r.component, r.component_size, r.n_pairs,
+            r.min_jaccard, r.max_jaccard) for r in rows.values()}
+    exp = {(w.component, w.component_size, w.n_pairs,
+            w.min_jaccard, w.max_jaccard) for w in want.itertuples()}
+    assert got == exp
