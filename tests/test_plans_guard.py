@@ -470,3 +470,19 @@ def test_round4_fifth_wave_plans(spark):
         assert "MapInPandas" not in plan, name
     plan = _plan(E.queries()["accent_fold"](spark, SF))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_round4_closing_plans(spark):
+    """Closing ops: pure JVM, no cartesian; the funnel must be join-free
+    (one grouped pass), the grouped split window-free."""
+    import __spark_entry__ as E
+    for name in ("domain_grouped_split", "event_funnel",
+                 "cluster_cohesion"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    funnel = _plan(E.queries()["event_funnel"](spark, SF))
+    assert "Join" not in funnel
+    split = _plan(E.queries()["domain_grouped_split"](spark, SF))
+    assert "Window" not in split
