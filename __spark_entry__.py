@@ -2148,99 +2148,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     come first; twice-green stable queries rotate to the tail. Every entry
     has pytest coverage regardless of window position."""
     return {
-        # -- block 0: NEW in round 4 (never driver-verified) --
-        "bpe_encode_tokens": _q_bpe_encode,             # tokenizer apply (r4)
-        "token_mixture_plan": _q_token_mixture_plan,    # mixture planner (r4)
-        "temperature_mixture": _q_temperature_mixture,  # alpha=1/2 plan (r4)
-        "split_leakage_pairs": _q_split_leakage,        # cross-split dups (r4)
-        "readability_metrics": _q_readability,          # Flesch + TTR (r4)
-        "etld1_domain_rollup": _q_etld1_rollup,         # eTLD+1 grouping (r4)
-        "export_shard_plan": _q_export_shard_plan,      # balanced shards (r4)
-        "pmi_collocations": _q_pmi_collocations,        # phrase mining (r4)
-        "snapshot_diff": _q_snapshot_diff,              # Iceberg-style diff (r4)
-        "recrawl_priority": _q_recrawl_priority,        # revisit scheduling (r4)
-        "crawl_fetch_budget": _q_crawl_fetch_budget,    # politeness budget (r4)
-        "dedup_containment": _q_dedup_containment,      # quote inclusion (r4)
-        "embedding_outliers": _q_embedding_outliers,    # semantic gate (r4)
-        "token_length_histogram": _q_token_length_histogram,  # seq-len dist (r4)
-        "incremental_host_rollup": _q_incremental_host_rollup,  # base+delta ≡ recompute (r4)
-        "semantic_contamination": _q_semantic_contamination,  # embedding decontam (r4)
-        "dataset_split_rollup": _q_dataset_split,  # hash split audit (r4)
-        "quality_classifier_train": _q_rocchio_train,  # Rocchio fit (r4)
-        "quality_classifier_confusion": _q_rocchio_confusion,  # serve (r4)
-        "feature_hash_vectors": _q_feature_hash_vectors,  # hashing-trick vectorizer (r4)
-        "text_cluster_assignments": _q_text_clusters,   # text->vec->kmeans e2e (r4)
-        "ann_recall_report": _q_ann_recall_report,      # in-engine recall metric (r4)
-        "bpe_train_merges": _q_bpe_train,               # BPE merge training (r4)
-        "bm25_search": _q_bm25_search,                  # BM25 top-k retrieval (r4)
-        "ppl_lang_terciles": _q_ppl_terciles,           # CCNet head/mid/tail (r4)
-        "lm_quality_scores": _q_lm_quality,             # bigram-LM ppl filter (r4)
-        "winnow_fingerprints": _q_winnow_fingerprints,  # rolling-hash winnowing (r4)
-        "winnow_dup_pairs": _q_winnow_dup_pairs,        # MOSS overlap pairs (r4)
-        "bpe_token_stats": _q_bpe_token_stats,          # BPE-ish pretokens (r4)
-        "wkb_zone_layer_cover": _q_wkb_layer_cover,
-        "wkb_hole_net_areas": _q_wkb_hole_net_areas,
-        "rf_trained_classification": _q_rf_trained,
-        "estimated_attribute_rollup": _q_estimated_rollup,
-        "population_multilevel": _q_population_multilevel,
-        "zone_svf_points": _q_zone_svf,
-        "streaming_sessions": _q_streaming_sessions,  # applyInPandasWithState (r4)
-        "streaming_late_data": _q_streaming_late_data,  # watermark drops (r4)
-        "ann_topk_ivf_pq": _q_ann_ivf_pq,  # product-quantized ADC + rerank (r4)
-        "pii_scrub": _q_pii_scrub,  # codegen PII redaction (r4)
-        "script_detect": _q_script_detect,  # Unicode-script histogram (r4)
-        "accent_fold": _q_accent_fold,  # Latin-ASCII fold (r4)
-        "doc_chunks": _q_doc_chunks,  # token-window chunking (r4)
-        "dedup_recall_report": _q_dedup_recall_report,  # LSH recall audit (r4)
-        "cdc_chunk_dedup": _q_cdc_chunk_dedup,  # gear-hash CDC chunks (r4)
-        "incremental_dedup_delta": _q_incremental_dedup_delta,  # batch-delta dedup (r4)
-        "duplication_spectrum": _q_duplication_spectrum,  # dup-length profile (r4)
-        "range_partition_plan": _q_range_partition_plan,  # equi-depth splits (r4)
-        "join_size_estimate": _q_join_size_estimate,  # CMS F2 cardinality (r4)
-        "zonal_mad": _q_zonal_mad,  # robust dispersion (r4)
-        "salted_tile_join": _q_salted_tile_join,  # skew-safe join (r4)
-        "domain_grouped_split": _q_domain_grouped_split,  # host-level split (r4)
-        "event_funnel": _q_event_funnel,  # ordered conversion funnel (r4)
-        "cluster_cohesion": _q_cluster_cohesion,  # chaining detector (r4)
-        "phrase_search": _q_phrase_search,  # positional phrase match (r4)
-        "priority_sample": _q_priority_sample,  # weighted DLT sample (r4)
-        "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules (r4)
-        "c4_line_filter": _q_c4_line_filter,              # C4 cleaning (r4)
-        "dsir_importance": _q_dsir_importance,            # DSIR selection (r4)
-        "mojibake_repair": _q_mojibake_repair,            # ftfy-style fix (r4)
-        "boilerplate_removal": _q_boilerplate_removal,  # host line-freq strip (r4)
-        "anchor_text_rollup": _q_anchor_text_rollup,  # href parse + host agg (r4)
-        "robots_url_filter": _q_robots_url_filter,  # longest-prefix match (r4)
-        "sketch_hll_distinct": _q_sketch_hll,        # fixed-state HLL (r4)
-        "sketch_kmv_distinct": _q_sketch_kmv,        # bottom-k sketch (r4)
-        "sketch_cms_heavy_hitters": _q_sketch_cms,   # count-min matrix (r4)
+        # -- block 0: the 39 never-driver-verified queries (r4 additions that
+        #    sat outside the 50-query window; VERDICT r4 "What's wrong" #1).
+        #    Positions 0-38 so CORRECTNESS_r05 closes the verification debt. --
+        "anchor_text_rollup": _q_anchor_text_rollup,  # href parse + host agg
+        "ann_topk_ivf_trained": _q_ann_ivf_trained,   # train→index→serve
+        "audio_snippet_match": _q_audio_snippet_match,  # constellation match
+        "bloom_blocklist_curation": _q_bloom_blocklist,  # bloom anti-join
+        "boilerplate_removal": _q_boilerplate_removal,  # host line-freq strip
+        "c4_line_filter": _q_c4_line_filter,          # C4 cleaning
+        "cluster_cohesion": _q_cluster_cohesion,      # chaining detector
+        "curation_pipeline_e2e": _q_curation_pipeline_e2e,  # composed chain
+        "decontaminate_trim": _q_decontaminate_trim,  # span-removal decontam
+        "doc_top_terms": _q_doc_top_terms,            # tf·icf salience
+        "domain_grouped_split": _q_domain_grouped_split,  # host-level split
+        "dsir_importance": _q_dsir_importance,        # DSIR selection
+        "dup_weighted_budget": _q_dup_weighted_budget,  # SemDeDup weights
+        "duplicate_spans": _q_duplicate_spans,        # ExactSubstr trim
+        "event_funnel": _q_event_funnel,              # ordered conversion funnel
+        "gopher_quality_flags": _q_gopher_quality_flags,  # Gopher rules
+        "host_hits": _q_host_hits,                    # int HITS hubs/auth
+        "host_label_propagation": _q_host_label_prop,  # seed-vote LP
+        "host_pagerank": _q_host_pagerank,            # int fixed-point PR
+        "kmeans_clusters": _q_kmeans_clusters,        # in-engine training
+        "lang_id_confusion": _q_lang_confusion,       # n-gram lang-ID
+        "media_ahash_dupes": _q_media_ahash_dupes,    # perceptual-hash dedup
+        "mojibake_repair": _q_mojibake_repair,        # ftfy-style fix
+        "phrase_search": _q_phrase_search,            # positional phrase match
+        "priority_sample": _q_priority_sample,        # weighted DLT sample
+        "robots_url_filter": _q_robots_url_filter,    # longest-prefix match
+        "segment_dedup": _q_segment_dedup,            # paragraph dedup
+        "sketch_cms_heavy_hitters": _q_sketch_cms,    # count-min matrix
         "sketch_hist_quantiles": _q_sketch_hist_quantiles,  # 1-bin-err qtiles
-        "kmeans_clusters": _q_kmeans_clusters,        # in-engine training (r4)
-        "ann_topk_ivf_trained": _q_ann_ivf_trained,   # train→index→serve (r4)
-        "curation_pipeline_e2e": _q_curation_pipeline_e2e,  # composed chain (r4)
-        "vocab_coverage": _q_vocab_coverage,          # bucketed cumsum (r4)
-        "topk_docs_per_lang": _q_topk_docs_per_lang,  # salted top-k (r4)
-        "zonal_quantiles_chars": _q_zonal_quantiles,  # exact percentiles (r4)
-        "url_canonical_dedup": _q_url_canonical_dedup,  # canonical URL (r4)
-        "surt_keys": _q_surt_keys,  # sort-friendly URL layout keys (r4)
-        "tile_indicator_table": _q_tile_indicator_table,  # grid rasterize (r4)
-        "segment_dedup": _q_segment_dedup,           # paragraph dedup (r4)
-        "duplicate_spans": _q_duplicate_spans,       # ExactSubstr trim (r4)
-        "decontaminate_trim": _q_decontaminate_trim,  # span-removal decontam (r4)
-        "bloom_blocklist_curation": _q_bloom_blocklist,  # bloom anti-join (r4)
-        "sprawl_components": _q_sprawl_components,   # dense-tile CC (r4)
-        "lang_id_confusion": _q_lang_confusion,      # n-gram lang-ID (r4)
-        "doc_top_terms": _q_doc_top_terms,           # tf·icf salience (r4)
-        "host_pagerank": _q_host_pagerank,           # int fixed-point PR (r4)
-        "host_label_propagation": _q_host_label_prop,  # seed-vote LP (r4)
-        "host_hits": _q_host_hits,                   # int HITS hubs/auth (r4)
-        "dup_weighted_budget": _q_dup_weighted_budget,  # SemDeDup weights (r4)
-        # -- block 1: engine/oracle changed in round 4 --
-        "streaming_incremental_dedup": _q_streaming_dedup,  # bucketed store (r4)
-        "smbr_direction_distribution": _q_smbr_direction,  # calipers path (r4)
-        "tile_neighbor_smoothing": _q_tile_neighbor_smoothing,  # kring9_sql DISTINCT (r4)
-        "event_asof_value": _q_event_asof,            # right_unique param (r4)
-        "streaming_windowed_ingest": _q_streaming_windowed_ingest,  # tmp cleanup (r4)
+        "sketch_hll_distinct": _q_sketch_hll,         # fixed-state HLL
+        "sketch_kmv_distinct": _q_sketch_kmv,         # bottom-k sketch
+        "sprawl_components": _q_sprawl_components,    # dense-tile CC
+        "surt_keys": _q_surt_keys,                    # sort-friendly URL keys
+        "tile_indicator_table": _q_tile_indicator_table,  # grid rasterize
+        "topk_docs_per_lang": _q_topk_docs_per_lang,  # salted top-k
+        "url_canonical_dedup": _q_url_canonical_dedup,  # canonical URL
+        "vocab_coverage": _q_vocab_coverage,          # bucketed cumsum
+        "warc_roundtrip": _q_warc_roundtrip,          # record-framed source
+        "zonal_quantiles_chars": _q_zonal_quantiles,  # exact percentiles
+        # -- block 1: engine/oracle NEW or CHANGED in round 5 (slots 39-49) --
+        "duplication_spectrum": _q_duplication_spectrum,  # hash60-keyed shuffle (r5)
+        "etld1_domain_rollup": _q_etld1_rollup,       # full vendored PSL (r5)
         # -- block 2: no round-2 CORRECTNESS row (r1-pass or never checked) --
         "event_props_rollup": _q_event_props_rollup,  # last signal: r1 FAIL
         "event_interval_join": _q_event_interval_join,  # + empty-iv fix (r3)
@@ -2270,9 +2222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_frame_sample": _q_media_frame_sample,
         "media_metadata": _q_media_metadata,  # payload format changed (r3)
-        "media_ahash_dupes": _q_media_ahash_dupes,  # perceptual-hash dedup (r4)
-        "audio_snippet_match": _q_audio_snippet_match,  # constellation match (r4)
-        "warc_roundtrip": _q_warc_roundtrip,  # record-framed segment source (r4)
         "ann_topk_lsh_multitable": _q_ann_lsh_mt,  # new in r3
         "ann_topk_ivf_multiprobe": _q_ann_ivf_mp,  # new in r3
         "skewed_tile_counts_salted": _q_skewed_tile_counts,  # new in r3
@@ -2327,6 +2276,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_emb_pairs_lsh,
         "event_window_agg": _q_event_windows,
         "event_sessions": _q_event_sessions,
+        # -- block 5: green in the round-4 driver window (CORRECTNESS_r04),
+        #    rotated to the tail so the r5 window reaches the debt above --
+        "bpe_encode_tokens": _q_bpe_encode,
+        "token_mixture_plan": _q_token_mixture_plan,
+        "temperature_mixture": _q_temperature_mixture,
+        "split_leakage_pairs": _q_split_leakage,
+        "readability_metrics": _q_readability,
+        "export_shard_plan": _q_export_shard_plan,
+        "pmi_collocations": _q_pmi_collocations,
+        "snapshot_diff": _q_snapshot_diff,
+        "recrawl_priority": _q_recrawl_priority,
+        "crawl_fetch_budget": _q_crawl_fetch_budget,
+        "dedup_containment": _q_dedup_containment,
+        "embedding_outliers": _q_embedding_outliers,
+        "token_length_histogram": _q_token_length_histogram,
+        "incremental_host_rollup": _q_incremental_host_rollup,
+        "semantic_contamination": _q_semantic_contamination,
+        "dataset_split_rollup": _q_dataset_split,
+        "quality_classifier_train": _q_rocchio_train,
+        "quality_classifier_confusion": _q_rocchio_confusion,
+        "feature_hash_vectors": _q_feature_hash_vectors,
+        "text_cluster_assignments": _q_text_clusters,
+        "ann_recall_report": _q_ann_recall_report,
+        "bpe_train_merges": _q_bpe_train,
+        "bm25_search": _q_bm25_search,
+        "ppl_lang_terciles": _q_ppl_terciles,
+        "lm_quality_scores": _q_lm_quality,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_dup_pairs": _q_winnow_dup_pairs,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "wkb_zone_layer_cover": _q_wkb_layer_cover,
+        "wkb_hole_net_areas": _q_wkb_hole_net_areas,
+        "rf_trained_classification": _q_rf_trained,
+        "estimated_attribute_rollup": _q_estimated_rollup,
+        "population_multilevel": _q_population_multilevel,
+        "zone_svf_points": _q_zone_svf,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_late_data": _q_streaming_late_data,
+        "ann_topk_ivf_pq": _q_ann_ivf_pq,
+        "pii_scrub": _q_pii_scrub,
+        "script_detect": _q_script_detect,
+        "accent_fold": _q_accent_fold,
+        "doc_chunks": _q_doc_chunks,
+        "dedup_recall_report": _q_dedup_recall_report,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        "incremental_dedup_delta": _q_incremental_dedup_delta,
+        "range_partition_plan": _q_range_partition_plan,
+        "join_size_estimate": _q_join_size_estimate,
+        "zonal_mad": _q_zonal_mad,
+        "salted_tile_join": _q_salted_tile_join,
+        "streaming_incremental_dedup": _q_streaming_dedup,
+        "smbr_direction_distribution": _q_smbr_direction,
+        "tile_neighbor_smoothing": _q_tile_neighbor_smoothing,
+        "event_asof_value": _q_event_asof,
+        "streaming_windowed_ingest": _q_streaming_windowed_ingest,
     }
 
 
