@@ -47,11 +47,16 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nd
     x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
     for i in range(n):
         ax, ay, bx, by = x1[i], y1[i], x2[i], y2[i]
-        # crossing test (half-open in y)
-        cond = (ay > py) != (by > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = (bx - ax) * (py - ay) / (by - ay) + ax
-        inside ^= cond & (px < xint)
+        # crossing test (half-open in y); horizontal edges (dy == 0) can
+        # never satisfy cond, so skip them instead of dividing by zero.
+        # A denormal dy can still overflow the quotient to ±inf — px < ±inf
+        # stays a well-defined crossing decision, so only silence `over`.
+        dy = by - ay
+        if dy != 0.0:
+            cond = (ay > py) != (by > py)
+            with np.errstate(over="ignore"):
+                xint = (bx - ax) * (py - ay) / dy + ax
+            inside ^= cond & (px < xint)
         # on-edge: collinear and within segment bbox
         cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
         within = (np.minimum(ax, bx) - 1e-12 <= px) & (px <= np.maximum(ax, bx) + 1e-12) & \

@@ -84,12 +84,19 @@ def cdc_chunks(docs: DataFrame, mask_bits: int = MASK_BITS,
                 n = len(t)
                 if n == 0:
                     continue
-                cps = np.fromiter((ord(c) for c in t), dtype=np.int64, count=n)
-                for cp in np.unique(cps):
+                # Vectorized codepoint extraction: one UTF-32 encode, no
+                # per-character Python. Gear lookup is Python only per
+                # DISTINCT codepoint (md5 table build, cached across the
+                # batch); the per-position map is a searchsorted gather.
+                cps = np.frombuffer(t.encode("utf-32-le"),
+                                    dtype=np.uint32).astype(np.int64)
+                uniq = np.unique(cps)
+                for cp in uniq:
                     if int(cp) not in gear_cache:
                         gear_cache[int(cp)] = _gear(int(cp))
-                g = np.vectorize(gear_cache.__getitem__,
-                                 otypes=[np.int64])(cps)
+                gvals = np.array([gear_cache[int(cp)] for cp in uniq],
+                                 dtype=np.int64)
+                g = gvals[np.searchsorted(uniq, cps)]
                 h = np.zeros(n, dtype=np.int64)
                 for o in range(min(WIN, n)):
                     h[o:] = (h[o:] + (g[:n - o] << o)) % H_MOD

@@ -304,12 +304,15 @@ def priority_sample(docs: DataFrame, k: int = 64,
     per-partition heap + driver merge of k+1 rows, NO global sort shuffle;
     the τ window runs over k+1 rows. The q computation rides the scan.
     """
-    did = F.col(id_col).cast("long")
-    u = hash60_seeded_col(PSAMPLE_SEED, F.concat(F.lit("ps:"),
-                                                 did.cast("string"))) + 1
+    # u/q are built from the POST-alias column name ("doc_id"), not id_col:
+    # the select below renames id_col, so referencing id_col afterwards
+    # would fail for any non-default id column.
+    u = hash60_seeded_col(PSAMPLE_SEED, F.concat(
+        F.lit("ps:"), F.col("doc_id").cast("string"))) + 1
     q = (F.col("w").cast("double")
          / (F.col("u").cast("double") / F.lit(_U_SCALE)))
-    scored = (docs.select(did.alias("doc_id"), *keep_cols,
+    scored = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                          *keep_cols,
                           F.col(weight_col).cast("long").alias("w"))
               .withColumn("u", u.cast("long"))
               .withColumn("q", q))

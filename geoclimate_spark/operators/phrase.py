@@ -73,7 +73,9 @@ def phrase_search_sql(phrases: list[tuple[int, str]],
     guard = (f"CASE WHEN length({norm}) > {_ORACLE_MAX_POS} THEN "
              f"error('oracle phrase bound {_ORACLE_MAX_POS} exceeded') "
              f"ELSE {norm} END")
-    vals = ", ".join(f"({q}, {i}, '{t}', {n})"
+    # SQL-escape query terms (double the single quotes) so phrases with
+    # apostrophes produce valid VALUES rows instead of broken SQL.
+    vals = ", ".join(f"({q}, {i}, '{t.replace(chr(39), chr(39) * 2)}', {n})"
                      for q, i, t, n in _qterm_rows(phrases))
     return f"""WITH norm AS (SELECT {id_sql} AS id, {guard} AS t FROM {rel}),
 toks AS (SELECT id, string_split(t, ' ') AS l FROM norm),

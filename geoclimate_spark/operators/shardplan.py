@@ -95,6 +95,14 @@ def range_partition_plan(docs: DataFrame, n_buckets: int = 8,
     broadcast idiom (kmeans.py — a column-derived key, since a literal key
     constant-folds into a BNLJ); the final count is one hash agg on
     bucket."""
+    if int(n_buckets) < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if int(n_buckets) == 1:
+        # Degenerate single-bucket plan: no boundaries, one rollup.
+        return (docs.groupBy(F.lit(0).cast("long").alias("bucket"))
+                .agg(F.min(F.col(value_col).cast("long")).alias("lo_value"),
+                     F.max(F.col(value_col).cast("long")).alias("hi_value"),
+                     F.count("*").cast("long").alias("n_docs")))
     vc = (docs.select(F.col(value_col).cast("long").alias("v"))
           .groupBy("v").agg(F.count("*").alias("c")))
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
@@ -128,6 +136,14 @@ def range_partition_plan_sql(n_buckets: int = 8, doc_rel: str = "documents",
                              value_sql: str = "n_chars",
                              id_sql: str = "doc_id") -> str:
     k = int(n_buckets)
+    if k < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if k == 1:
+        return f"""SELECT CAST(0 AS BIGINT) AS bucket,
+       CAST(MIN(CAST({value_sql} AS BIGINT)) AS BIGINT) AS lo_value,
+       CAST(MAX(CAST({value_sql} AS BIGINT)) AS BIGINT) AS hi_value,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM {doc_rel}"""
     bsel = " UNION ALL ".join(
         f"SELECT {j} AS j, (SELECT MIN(v) FROM cum WHERE _cum > (_n * {j}) // {k}) AS bval"
         for j in range(1, k))

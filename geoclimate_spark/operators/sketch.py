@@ -374,8 +374,11 @@ def selfjoin_size_estimate(df: DataFrame, item: str, d: int = CMS_D,
                   .alias("exact_join_size")))
     return (exact.crossJoin(F.broadcast(est))
             .select("n_rows", "n_keys", "exact_join_size", "cms_estimate",
-                    F.expr("((cms_estimate - exact_join_size) * 1000)"
-                           " div exact_join_size").alias("over_millis")))
+                    F.expr("CASE WHEN exact_join_size IS NULL"
+                           " OR exact_join_size = 0 THEN 0 ELSE"
+                           " ((coalesce(cms_estimate, 0) - exact_join_size)"
+                           " * 1000) div exact_join_size END")
+                    .alias("over_millis")))
 
 
 def selfjoin_size_estimate_sql(table_sql: str, item: str, d: int = CMS_D,
@@ -400,6 +403,7 @@ cells AS (
         WHERE {item} IS NOT NULL GROUP BY 1)
 )
 SELECT n_rows, n_keys, exact_join_size, cms_estimate,
-       ((cms_estimate - exact_join_size) * 1000) // exact_join_size
-         AS over_millis
+       CASE WHEN exact_join_size IS NULL OR exact_join_size = 0 THEN 0
+            ELSE ((coalesce(cms_estimate, 0) - exact_join_size) * 1000)
+                 // exact_join_size END AS over_millis
 FROM exact, est"""

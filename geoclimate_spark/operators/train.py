@@ -157,10 +157,23 @@ def fit_forest(rows: list[dict], features: list[str], label: str,
     return trees
 
 
-def collect_training(df, features: list[str], label: str) -> list[dict]:
+TRAIN_MAX_ROWS = 100_000
+
+
+def collect_training(df, features: list[str], label: str,
+                     max_rows: int = TRAIN_MAX_ROWS) -> list[dict]:
     """Spark training table → driver rows (the `:540` H2-collect analogue).
-    At scale: ``df.sample(...)`` upstream; the fit input stays small."""
-    rows = df.select(*features, label).collect()
+    At scale: ``df.sample(...)`` upstream; the fit input stays small.
+
+    The small-input contract is ENFORCED, not advisory: the collect is
+    bounded by ``limit(max_rows + 1)`` (driver memory stays capped even on
+    a 10^12-row input) and anything over ``max_rows`` raises instead of
+    silently fitting on a truncated table."""
+    rows = df.select(*features, label).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"collect_training: input exceeds max_rows={max_rows}; "
+            "sample upstream (df.sample / .limit) before fitting")
     return [r.asDict() for r in rows]
 
 

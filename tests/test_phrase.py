@@ -60,3 +60,14 @@ def test_plan_broadcast_before_shuffle(spark, result):
     # no shuffle of raw corpus postings (first Exchange keys include qid)
     first_ex = plan.index("Exchange hashpartitioning")
     assert "qid" in plan[first_ex:first_ex + 200]
+
+
+def test_oracle_sql_escapes_apostrophes(spark):
+    """ADVICE r4: phrase terms with apostrophes must produce valid SQL."""
+    con = duckdb.connect()
+    con.execute("create view documents as select 1 as doc_id,"
+                " 'it''s a test it''s fine' as text")
+    sql = P.phrase_search_sql([(1, "it's a"), (2, "o'clock sharp")])
+    got = sorted(con.execute(sql).fetchall())
+    con.close()
+    assert got == [(1, 1, 1, 1)]

@@ -75,3 +75,13 @@ def test_plan_no_global_sort(spark):
     df = spark.createDataFrame(DOCS, SCHEMA)
     plan = C.priority_sample(df, k=20)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_non_default_id_col(spark):
+    """ADVICE r4: u/q must be built from the post-alias name so any id
+    column works, and the sample must be identical to the doc_id run."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    renamed = df.withColumnRenamed("doc_id", "page_id")
+    a = sorted(C.priority_sample(df, k=20).collect())
+    b = sorted(C.priority_sample(renamed, k=20, id_col="page_id").collect())
+    assert a == b

@@ -64,3 +64,28 @@ def test_plan_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_single_bucket_plan(spark, duck):
+    """ADVICE r4: n_buckets=1 must yield one whole-range bucket (and valid
+    SQL) instead of crashing on an empty boundary set."""
+    vals = [(i * 37) % 251 for i in range(100)]
+    rows = _plan_rows(spark, vals, 1)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.bucket, r.lo_value, r.hi_value, r.n_docs) == (
+        0, min(vals), max(vals), 100)
+    duck.execute("create or replace view _rp1 as select * from (values "
+                 + ",".join(f"({i},{v})" for i, v in enumerate(vals))
+                 + ") t(doc_id, n_chars)")
+    got = duck.execute(SP.range_partition_plan_sql(1, "_rp1")).fetchall()
+    assert got == [(0, min(vals), max(vals), 100)]
+
+
+def test_zero_buckets_raises(spark):
+    import pytest as _pt
+    df = spark.createDataFrame([(1, 10)], SCHEMA)
+    with _pt.raises(ValueError):
+        SP.range_partition_plan(df, n_buckets=0)
+    with _pt.raises(ValueError):
+        SP.range_partition_plan_sql(0)

@@ -125,3 +125,17 @@ def test_selfjoin_size_estimate(spark):
     for col in ("n_rows", "n_keys", "exact_join_size", "cms_estimate",
                 "over_millis"):
         assert r.asDict()[col] == int(want[col]), col
+
+
+def test_selfjoin_estimate_empty_input(spark, duck):
+    """ADVICE r4: empty input (or all-NULL keys) must report over_millis=0,
+    not NULL/div-by-zero — engine and oracle both."""
+    from geoclimate_spark.operators import sketch as SK
+    df = spark.createDataFrame([], "user_id string")
+    r = SK.selfjoin_size_estimate(df, "user_id").collect()[0]
+    assert r.over_millis == 0
+    duck.execute("create or replace view _sje as "
+                 "select CAST(NULL AS VARCHAR) AS user_id where 1=0")
+    got = duck.execute(SK.selfjoin_size_estimate_sql(
+        "SELECT * FROM _sje", "user_id")).fetchall()[0]
+    assert got[-1] == 0

@@ -137,3 +137,13 @@ def test_population_chain_conserves_people(spark):
     # zones and tiles tile the whole globe, so nothing leaks at any level
     assert total_b == pytest.approx(total_t, rel=1e-9)
     assert total_b > 0
+
+
+def test_collect_training_cap_enforced(spark):
+    """ADVICE r4: the small-fit-input contract is a hard guard now."""
+    import pytest as _pt
+    from geoclimate_spark.operators import train as T2
+    df = spark.range(50).selectExpr("id AS a", "id % 3 AS y")
+    assert len(T2.collect_training(df, ["a"], "y")) == 50
+    with _pt.raises(ValueError, match="max_rows"):
+        T2.collect_training(df, ["a"], "y", max_rows=10)
