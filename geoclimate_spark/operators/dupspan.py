@@ -22,12 +22,14 @@ Scale design (10^12 docs):
   (normalize → split → transform(sequence) → posexplode) — no Python; the
   explode emits ~n_tokens rows per doc, the same order of work as
   tokenization itself;
-* the duplicate decision is ONE shuffle keyed by the window text with a
-  map-side-combinable COUNT — identical windows co-locate under any
-  partitioning. At corpus scale the key would be the 64-bit rolling hash of
-  :mod:`winnow` (8-byte shuffle key instead of the token string; collision
-  rate ~ pairs/2^64) — the string key here keeps the operator bit-exact
-  against the DuckDB oracle with zero collision caveats;
+* the duplicate decision is ONE shuffle keyed by ``hash60(window)`` — an
+  8-byte key, NEVER the window text (at n=8 the text key would be ~n× the
+  corpus bytes through one exchange) — with a map-side-combinable COUNT;
+  identical windows co-locate under any partitioning. The oracle applies
+  the identical ``hash60_sql`` so a (cosmically rare, ~pairs/2^60)
+  collision marks the same window as duplicated on BOTH engines —
+  bit-exact parity is preserved, the same contract as
+  :func:`decontaminate_trim` and :mod:`boilerplate`;
 * only DUPLICATED windows are exploded to covered positions (n rows each),
   so the coverage union touches the duplicated tail of the corpus, not all
   of it; the distinct + count per doc is again map-side combinable;
@@ -125,12 +127,17 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     the corpus (across documents OR within one). ``dup_tokens`` is the size
     of the union of the covered position intervals; ``trimmed_text`` is the
     normalized text with covered tokens removed (original token order kept).
+
+    The duplicate decision shuffles ``hash60(gram)`` (8 bytes/window), not
+    the window text — the gram column is projected away before either
+    exchange (plan-guarded in tests/test_dupspan.py).
     """
     base = _base(docs, id_col, text_col)
-    wins = _windows(base, n)
-    dup = (wins.groupBy("gram").agg(F.count("*").alias("_c"))
-           .where(F.col("_c") >= 2).select("gram"))
-    dwin = wins.join(dup, "gram").select("id", "pos")
+    wh = (_windows(base, n)
+          .select("id", "pos", hash60_col(F.col("gram")).alias("gh")))
+    dup = (wh.groupBy("gh").agg(F.count("*").alias("_c"))
+           .where(F.col("_c") >= 2).select("gh"))
+    dwin = wh.join(dup, "gh").select("id", "pos")
     return _coverage_trim(base, dwin, n, id_col, "n_dup_windows",
                           "dup_tokens", "dup_fraction", "trimmed_text")
 
@@ -219,11 +226,14 @@ LEFT JOIN trimmed USING (id)"""
 
 def duplicate_spans_sql(doc_rel: str = "documents", id_col: str = "doc_id",
                         text_col: str = "text", n: int = SPAN_TOKENS) -> str:
-    """DuckDB dual of :func:`duplicate_spans`."""
+    """DuckDB dual of :func:`duplicate_spans` — same hash60 window key as
+    the engine, so collision behavior (if any) is identical."""
+    h_g = hash60_sql("gram")
     return f"""
 WITH {_base_wins_ctes_sql(doc_rel, id_col, text_col, n)},
-dup AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= 2),
-dwin AS (SELECT id, pos FROM wins JOIN dup USING (gram)),
+wh AS (SELECT id, pos, {h_g} AS gh FROM wins),
+dup AS (SELECT gh FROM wh GROUP BY gh HAVING COUNT(*) >= 2),
+dwin AS (SELECT id, pos FROM wh JOIN dup USING (gh)),
 {_trim_tail_sql(n, id_col, "base", "dwin", "n_dup_windows",
                 "dup_tokens", "dup_fraction", "trimmed_text")}"""
 
@@ -271,17 +281,19 @@ def duplication_spectrum(docs: DataFrame,
     duplication = real copied passages, short-window duplication ≈
     formulaic language.
 
-    Scale: one gram-keyed map-side-combinable shuffle PER length (the
-    lengths are a handful); the per-length stats aggregate to ONE row
-    before the union, so the result assembly is free. The shared token
-    array is computed once and persisted."""
+    Scale: one hash60(gram)-keyed map-side-combinable shuffle PER length
+    (8-byte keys — window text never reaches an exchange; the lengths are
+    a handful); the per-length stats aggregate to ONE row before the
+    union, so the result assembly is free. The shared token array is
+    computed once and persisted."""
     base = _base(docs, id_col, text_col).persist()
     outs = []
     for n in lengths:
-        wins = _windows(base, n)
-        dup = (wins.groupBy("gram").agg(F.count("*").alias("_c"))
+        wh = (_windows(base, n)
+              .select("id", hash60_col(F.col("gram")).alias("gh")))
+        dup = (wh.groupBy("gh").agg(F.count("*").alias("_c"))
                .where(F.col("_c") >= 2))
-        dstats = (wins.join(dup.select("gram"), "gram")
+        dstats = (wh.join(dup.select("gh"), "gh")
                   .agg(F.count("*").cast("long").alias("dup_windows"),
                        F.countDistinct("id").cast("long").alias("dup_docs")))
         totals = base.agg(
@@ -305,13 +317,15 @@ def duplication_spectrum_sql(lengths: tuple[int, ...] = SPECTRUM_LENGTHS,
                              id_col: str = "doc_id",
                              text_col: str = "text") -> str:
     parts = []
+    h_g = hash60_sql("gram")
     for n in lengths:
         parts.append(f"""(
 WITH {_base_wins_ctes_sql(doc_rel, id_col, text_col, n)},
-dup AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= 2),
+wh AS (SELECT id, {h_g} AS gh FROM wins),
+dup AS (SELECT gh FROM wh GROUP BY gh HAVING COUNT(*) >= 2),
 dw AS (SELECT CAST(COUNT(*) AS BIGINT) AS dup_windows,
               CAST(COUNT(DISTINCT id) AS BIGINT) AS dup_docs
-       FROM wins JOIN dup USING (gram)),
+       FROM wh JOIN dup USING (gh)),
 tot AS (SELECT CAST(SUM(GREATEST(n_tokens - {n - 1}, 0)) AS BIGINT)
                  AS total_windows FROM base)
 SELECT CAST({n} AS BIGINT) AS window_len, tot.total_windows,

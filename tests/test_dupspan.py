@@ -114,3 +114,21 @@ def test_duplication_spectrum(spark):
         assert (e.total_windows, e.dup_windows, e.dup_docs,
                 e.dup_window_millis) == (r.total_windows, r.dup_windows,
                                          r.dup_docs, r.dup_window_millis)
+
+
+def test_dup_decision_shuffles_hash_not_text(spark):
+    """VERDICT r4 'weak' fix: the duplicate-decision exchanges must carry
+    hash60 keys, never the window text. Inspect every Exchange in the
+    executed plan of the dup-window count subplan: no `gram` column may
+    appear in any hashpartitioning key set."""
+    import re
+    docs = spark.createDataFrame(
+        [(i, "w%d a b c d e f g h" % (i % 3)) for i in range(30)],
+        "doc_id long, text string")
+    for df in (dupspan.duplicate_spans(docs),
+               dupspan.duplication_spectrum(docs, lengths=(4, 8))):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "gram" not in m.group(1), m.group(0)
+        # the gh-keyed exchanges must exist (the decision IS shuffled)
+        assert re.search(r"Exchange hashpartitioning\(gh", plan)
