@@ -2083,6 +2083,29 @@ def _q_wkb_hole_net_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wkb_src.ring_net_areas(vtx)
 
 
+WKB_LON0, WKB_LAT0 = -1.5534, 47.2173  # Nantes — the reference's e2e city
+
+
+def _q_wkb_reprojected_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS reprojection front door end-to-end
+    (`osm/InputDataLoading.groovy:74-78` ST_Transform-to-local-metric
+    analogue): the multi-part/hole fixture arrives as EPSG:4326 lon/lat
+    WKB about a Nantes origin, is reprojected to local equirectangular
+    METERS inside the decode pass (snap AFTER transform), then two metric
+    operators run on the result — exact integer shoelace net areas and
+    millimeter facade perimeters. The oracle computes from the planted
+    integer METRIC vertex VALUES and never sees a degree, so a green hash
+    proves decode∘reproject∘snap recovers the exact metric layer."""
+    vtx = wkb_src.decode_wkb_vertices(
+        wkb_src.lonlat_multipoly_layer_df(spark, WKB_LON0, WKB_LAT0),
+        id_col="feat_id", scale=1.0,
+        origin=(WKB_LON0, WKB_LAT0)).persist()
+    a = wkb_src.ring_net_areas(vtx)
+    p = wkb_src.ring_perimeters(vtx)
+    return a.join(p, "feat_id").select(
+        "feat_id", "n_parts", "n_holes", "net_area2", "perim_mm")
+
+
 def _q_rf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RandomForest TRAIN + apply (`TypologyClassification.groovy:495-577`):
     collect the labeled fixture rows from the Spark table, fit the
@@ -2193,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 1: engine/oracle NEW or CHANGED in round 5 (slots 39-49) --
         "duplication_spectrum": _q_duplication_spectrum,  # hash60-keyed shuffle (r5)
         "etld1_domain_rollup": _q_etld1_rollup,       # full vendored PSL (r5)
+        "wkb_reprojected_metrics": _q_wkb_reprojected_metrics,  # CRS front door (r5)
         # -- block 2: no round-2 CORRECTNESS row (r1-pass or never checked) --
         "event_props_rollup": _q_event_props_rollup,  # last signal: r1 FAIL
         "event_interval_join": _q_event_interval_join,  # + empty-iv fix (r3)
@@ -2527,6 +2551,11 @@ def oracle_sql() -> dict[str, str]:
             layers.poly_zone_vertices_values_sql()),
         "wkb_hole_net_areas": wkb_src.ring_net_areas_sql(
             wkb_src.multipoly_vertices_values_sql()),
+        "wkb_reprojected_metrics": (
+            f"WITH a AS ({wkb_src.ring_net_areas_sql(wkb_src.multipoly_vertices_values_sql())}),\n"
+            f"p AS ({wkb_src.ring_perimeters_sql(wkb_src.multipoly_vertices_values_sql())})\n"
+            "SELECT a.feat_id, a.n_parts, a.n_holes, a.net_area2, p.perim_mm\n"
+            "FROM a JOIN p USING (feat_id)"),
         "rf_trained_classification": classify.classify_tree_ensemble_sql(
             "SELECT bld_id, area, perim, elong FROM ("
             + train.synth_buildings_values_sql() + ")",

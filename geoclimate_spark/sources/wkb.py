@@ -42,6 +42,38 @@ _WKB_MULTIPOLYGON = 6
 _EWKB_SRID_FLAG = 0x2000_0000
 _EWKB_Z_FLAG = 0x8000_0000
 
+# --------------------------------------------------------- CRS reprojection
+# The reference reprojects every input layer to a local metric CRS before
+# any indicator runs (`osm/InputDataLoading.groovy:74-78`
+# GeographyUtilities.getSRID + ST_Transform; grids re-projected at
+# `WorkflowGeoIndicators.groovy:2007-2011`). The engine analogue is a
+# deterministic equirectangular projection about a caller-chosen origin:
+#   x_m = (lon − lon0) · M_PER_DEG · cos(lat0)     y_m = (lat − lat0) · M_PER_DEG
+# Pure IEEE sub/mul with constants computed ONCE in Python and embedded as
+# literals on both engines, so the transform replays bit-for-bit in the
+# DuckDB oracle (the repo-wide exactness convention). Snap runs AFTER the
+# transform — the grid is metric, never degree-space.
+M_PER_DEG = 111_320.0
+
+
+def equirect_scales(lat0: float) -> tuple[float, float]:
+    """(cx, cy): meters per degree of longitude/latitude at ``lat0``."""
+    import math
+
+    return (M_PER_DEG * math.cos(math.radians(lat0)), M_PER_DEG)
+
+
+def snap_equirect_sql(lon_sql: str, lat_sql: str, lon0: float, lat0: float,
+                      scale: float = 1.0) -> tuple[str, str]:
+    """SQL duals of the decode-side transform+snap: the literal constants
+    round-trip through repr so both engines multiply the same doubles."""
+    cx, cy = equirect_scales(lat0)
+    x = (f"CAST(FLOOR((({lon_sql} - {lon0!r}) * {cx!r}) * {scale!r} + 0.5) "
+         f"AS BIGINT)")
+    y = (f"CAST(FLOOR((({lat_sql} - {lat0!r}) * {cy!r}) * {scale!r} + 0.5) "
+         f"AS BIGINT)")
+    return x, y
+
 
 # ------------------------------------------------------------------ writer
 def _ring_bytes(ring: np.ndarray) -> bytes:
@@ -129,15 +161,27 @@ def snap_coords(coords: np.ndarray, scale: float) -> np.ndarray:
 def decode_wkb_vertices(geoms: DataFrame, id_col: str = "feat_id",
                         wkb_col: str = "geom_wkb",
                         keep: tuple[str, ...] = (),
-                        scale: float = 1.0) -> DataFrame:
+                        scale: float = 1.0,
+                        origin: tuple[float, float] | None = None) -> DataFrame:
     """WKB layer → snapped integer vertex rows.
 
     ``geoms``: (id_col, wkb_col binary, *keep). Returns
     (id_col, *keep, part, ring, seq, x, y) with x/y int64 on the
     ``1/scale`` grid — ready for the relational geometry operators. One
     Arrow pass, no shuffle; decode cost rides the scan.
+
+    ``origin=(lon0, lat0)``: the layer's coordinates are EPSG:4326 lon/lat
+    DEGREES; reproject to local equirectangular meters about the origin
+    BEFORE snapping (the `InputDataLoading.groovy:74-78` ST_Transform-to-
+    local-UTM analogue) — metric operators (kNN radii, facade lengths,
+    areas) then run on true meters instead of degree-space arithmetic.
     """
     keep = tuple(keep)
+    if origin is not None:
+        lon0, lat0 = float(origin[0]), float(origin[1])
+        cx, cy = equirect_scales(lat0)
+        _shift = np.array([lon0, lat0], np.float64)
+        _mul = np.array([cx, cy], np.float64)
     schema = (f"{id_col} long, "
               + "".join(f"{k} string, " for k in keep)
               + "part long, ring long, seq long, x long, y long")
@@ -149,6 +193,8 @@ def decode_wkb_vertices(geoms: DataFrame, id_col: str = "feat_id",
                 gid = getattr(row, id_col)
                 kv = tuple(getattr(row, k) for k in keep)
                 for part, ring, coords in parse_wkb(getattr(row, wkb_col)):
+                    if origin is not None:
+                        coords = (coords - _shift) * _mul
                     snapped = snap_coords(coords, scale)
                     n = len(snapped)
                     ids.append(np.full(n, gid, np.int64))
@@ -223,6 +269,48 @@ SELECT {id_col}, CAST(COUNT(DISTINCT part) AS BIGINT) AS n_parts,
 FROM per_ring GROUP BY {id_col}"""
 
 
+# ------------------------------------------------------------- perimeters
+def ring_perimeters(vtx: DataFrame, id_col: str = "feat_id") -> DataFrame:
+    """Metric perimeter from decoded vertex rows — the facade-length
+    consumer of the CRS front door (`GenericIndicators.groovy:241`
+    ST_PERIMETER analogue, holes included: interior facades count). Each
+    closed-ring edge contributes ``FLOOR(1000·|edge| + 0.5)`` integer
+    millimeters (per-EDGE rounding, so the int64 sum is order-independent
+    — never a float Σ whose value depends on partitioning). Returns
+    (id, perim_mm)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col, "part", "ring").orderBy("seq")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e = vtx.select(
+        id_col, "part", "ring",
+        F.col("x").alias("ex"), F.col("y").alias("ey"),
+        F.coalesce(F.lead("x").over(w), F.first("x").over(wf)).alias("exn"),
+        F.coalesce(F.lead("y").over(w), F.first("y").over(wf)).alias("eyn"))
+    elen = F.expr(
+        "CAST(FLOOR(SQRT(CAST((ex - exn) * (ex - exn)"
+        " + (ey - eyn) * (ey - eyn) AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)")
+    return (e.groupBy(id_col)
+            .agg(F.sum(elen).cast("long").alias("perim_mm")))
+
+
+def ring_perimeters_sql(vtx_sql: str, id_col: str = "feat_id") -> str:
+    return f"""WITH vtx AS ({vtx_sql}),
+e AS (SELECT {id_col}, part, ring, x AS ex, y AS ey,
+       COALESCE(LEAD(x) OVER (PARTITION BY {id_col}, part, ring ORDER BY seq),
+         FIRST_VALUE(x) OVER (PARTITION BY {id_col}, part, ring ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS exn,
+       COALESCE(LEAD(y) OVER (PARTITION BY {id_col}, part, ring ORDER BY seq),
+         FIRST_VALUE(y) OVER (PARTITION BY {id_col}, part, ring ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS eyn
+  FROM vtx)
+SELECT {id_col},
+       CAST(SUM(CAST(FLOOR(SQRT(CAST((ex - exn) * (ex - exn)
+           + (ey - eyn) * (ey - eyn) AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT))
+         AS BIGINT) AS perim_mm
+FROM e GROUP BY {id_col}"""
+
+
 # ---------------------------------------------------------------- fixtures
 def _lcg(s: int) -> int:
     return (s * 48_271 + 11) % 2_147_483_647
@@ -284,6 +372,41 @@ def wkb_multipoly_layer_df(spark, srid: int = 4326) -> DataFrame:
                 rings.append(arr)
             polys.append(rings)
         rows.append((fid, srid, bytearray(multipolygon_wkb(polys))))
+    return spark.createDataFrame(
+        rows, "feat_id long, srid int, geom_wkb binary")
+
+
+def lonlat_multipoly_layer_df(spark, lon0: float, lat0: float) -> DataFrame:
+    """The SAME planted multi-part/hole fixture as
+    :func:`wkb_multipoly_layer_df` (identical jitter chain), but serialized
+    in EPSG:4326 lon/lat DEGREES about ``(lon0, lat0)`` via the inverse
+    equirectangular map — the input a real user hands the CRS front door.
+    ``decode_wkb_vertices(..., origin=(lon0, lat0))`` must recover the
+    planted integer metric layer exactly (jitter ±0.2 m ≫ the ~1e-10 m
+    float round-trip error), so the oracle replays from the integer VALUES
+    and never sees a degree."""
+    cx, cy = equirect_scales(lat0)
+    feats: dict[int, dict[int, dict[int, list]]] = {}
+    for fid, part, ring, seq, x, y in synth_multipoly_rows():
+        feats.setdefault(fid, {}).setdefault(part, {}).setdefault(
+            ring, []).append((x, y))
+    rows = []
+    s = 99_991
+    for fid in sorted(feats):
+        polys = []
+        for part in sorted(feats[fid]):
+            rings = []
+            for ring in sorted(feats[fid][part]):
+                arr = np.empty((len(feats[fid][part][ring]), 2), np.float64)
+                for i, (x, y) in enumerate(feats[fid][part][ring]):
+                    s = _lcg(s)
+                    jx = (s % 401 - 200) / 1000.0
+                    s = _lcg(s)
+                    jy = (s % 401 - 200) / 1000.0
+                    arr[i] = (lon0 + (x + jx) / cx, lat0 + (y + jy) / cy)
+                rings.append(arr)
+            polys.append(rings)
+        rows.append((fid, 4326, bytearray(multipolygon_wkb(polys))))
     return spark.createDataFrame(
         rows, "feat_id long, srid int, geom_wkb binary")
 

@@ -111,3 +111,43 @@ def test_decode_is_mapinpandas_not_python_udf(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_reproject_decode_recovers_metric_layer(spark):
+    """CRS front door: lon/lat WKB about a Nantes origin, reprojected to
+    equirectangular meters inside the decode pass, must recover the SAME
+    planted integer metric vertices as the metric fixture (jitter ±0.2 m
+    dominates the ~1e-10 m float round-trip error)."""
+    lon0, lat0 = -1.5534, 47.2173
+    vtx = W.decode_wkb_vertices(
+        W.lonlat_multipoly_layer_df(spark, lon0, lat0),
+        id_col="feat_id", scale=1.0, origin=(lon0, lat0))
+    got = {(r.feat_id, r.part, r.ring, r.seq): (r.x, r.y)
+           for r in vtx.collect()}
+    want = {(f, p, rg, sq): (x, y)
+            for f, p, rg, sq, x, y in W.synth_multipoly_rows()}
+    assert got == want
+
+
+def test_degree_space_without_origin_is_wrong_scale(spark):
+    """Sanity: decoding the lon/lat layer WITHOUT the origin transform
+    yields degree-magnitude coordinates — the failure mode the CRS front
+    door exists to close (metric ops on degrees)."""
+    lon0, lat0 = -1.5534, 47.2173
+    vtx = W.decode_wkb_vertices(
+        W.lonlat_multipoly_layer_df(spark, lon0, lat0),
+        id_col="feat_id", scale=1.0)
+    mx = vtx.agg({"x": "max"}).collect()[0][0]
+    assert abs(mx) < 1000  # degrees snap to tiny ints, not ±500k meters
+
+
+def test_ring_perimeters_rect(spark):
+    """4x3 rect + 1x1 hole: perimeter = (14 + 4) m in mm, exact ints."""
+    rows = ([(7, 0, 0, i, x, y) for i, (x, y) in
+             enumerate([(0, 0), (4, 0), (4, 3), (0, 3)])]
+            + [(7, 0, 1, i, x, y) for i, (x, y) in
+               enumerate([(1, 1), (1, 2), (2, 2), (2, 1)])])
+    vtx = spark.createDataFrame(
+        rows, "feat_id long, part long, ring long, seq long, x long, y long")
+    out = W.ring_perimeters(vtx).collect()[0]
+    assert out.perim_mm == 18_000
