@@ -215,6 +215,14 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dupspan.duplicate_spans(_docs(spark, sf_dir))
 
 
+def _q_span_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup recall report (r5): fraction of the EXACT duplicated-span
+    coverage (8-token windows) that 12-token segment dedup catches, plus
+    precision — the measured-not-asserted threshold audit for the
+    substring-dedup family (the ann_recall_report pattern)."""
+    return dupspan.span_dedup_recall_report(_docs(spark, sf_dir))
+
+
 def _q_decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination by span removal: training docs with every
     token covered by a benchmark-colliding 5-gram window removed; broadcast
@@ -2239,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etld1_domain_rollup": _q_etld1_rollup,       # full vendored PSL (r5)
         "wkb_reprojected_metrics": _q_wkb_reprojected_metrics,  # CRS front door (r5)
         "geojson_zone_layer_cover": _q_geojson_layer_cover,  # GeoJSON reader (r5)
+        "span_dedup_recall_report": _q_span_dedup_recall,  # threshold audit (r5)
         # -- block 2: no round-2 CORRECTNESS row (r1-pass or never checked) --
         "event_props_rollup": _q_event_props_rollup,  # last signal: r1 FAIL
         "event_interval_join": _q_event_interval_join,  # + empty-iv fix (r3)
@@ -2542,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_indicator_table": _tile_indicator_table_sql(),
         "segment_dedup": segdedup.segment_dedup_sql(),
         "duplicate_spans": dupspan.duplicate_spans_sql(),
+        "span_dedup_recall_report": dupspan.span_dedup_recall_report_sql(),
         "decontaminate_trim": dupspan.decontaminate_trim_sql(),
         "bloom_blocklist_curation": bloom.bloom_blocklist_filter_sql(
             BLOOM_BAN_MOD),

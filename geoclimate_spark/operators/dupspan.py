@@ -264,6 +264,105 @@ hit AS (SELECT id, pos FROM wh
                 "contam_tokens", "contam_fraction", "clean_text")}"""
 
 
+# ------------------------------------------------- span-dedup recall report
+def span_dedup_recall_report(docs: DataFrame, n: int = SPAN_TOKENS,
+                             k: int | None = None, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """How much of the EXACT duplicated-span coverage does segment-level
+    dedup actually catch? The measured-not-asserted companion of
+    ``dedup_recall_report``/``ann_recall_report`` for the substring-dedup
+    family: ground truth = the interval union of duplicated n-token
+    windows (:func:`duplicate_spans` semantics); approximation = token
+    positions inside k-token SEGMENTS (:mod:`segdedup` granularity) whose
+    exact text occurs >= 2 times. Segment dedup only catches duplication
+    that respects segment alignment — this report quantifies that loss so
+    the k threshold is a measured choice.
+
+    One row: (exact_dup_tokens, seg_dup_tokens, caught_tokens,
+    recall_millis, precision_millis). Scale: two hash60-keyed
+    map-side-combinable shuffles (windows + segments — 8-byte keys, text
+    never shuffles) and one (id, p)-keyed count join over the duplicated
+    tail only."""
+    from .segdedup import SEG_TOKENS, _segments
+
+    if k is None:
+        k = SEG_TOKENS
+    base = _base(docs, id_col, text_col)
+    wh = (_windows(base, n)
+          .select("id", "pos", hash60_col(F.col("gram")).alias("gh")))
+    dupg = (wh.groupBy("gh").agg(F.count("*").alias("_c"))
+            .where(F.col("_c") >= 2).select("gh"))
+    exact_cov = (wh.join(dupg, "gh")
+                 .select("id", F.explode(
+                     F.expr(f"sequence(pos, pos + {n - 1})")).alias("p"))
+                 .distinct())
+    seg = (_segments(docs, id_col, text_col, k)
+           .select("id", "pos", hash60_col(F.col("seg")).alias("sh"),
+                   F.size(F.split("seg", " ")).alias("_sl")))
+    dups = (seg.groupBy("sh").agg(F.count("*").alias("_c"))
+            .where(F.col("_c") >= 2).select("sh"))
+    # segments are disjoint by construction — no distinct needed
+    seg_cov = (seg.join(dups, "sh")
+               .select("id", F.explode(F.expr(
+                   f"sequence(pos * {k}, pos * {k} + _sl - 1)")).alias("p")))
+    ex = exact_cov.agg(F.count("*").cast("long").alias("exact_dup_tokens"))
+    sg = seg_cov.agg(F.count("*").cast("long").alias("seg_dup_tokens"))
+    ct = (exact_cov.join(seg_cov, ["id", "p"])
+          .agg(F.count("*").cast("long").alias("caught_tokens")))
+    return (ex.crossJoin(F.broadcast(sg)).crossJoin(F.broadcast(ct))
+            .select("exact_dup_tokens", "seg_dup_tokens", "caught_tokens",
+                    F.expr("CASE WHEN exact_dup_tokens = 0 THEN 0 ELSE"
+                           " (caught_tokens * 1000) div exact_dup_tokens END")
+                    .alias("recall_millis"),
+                    F.expr("CASE WHEN seg_dup_tokens = 0 THEN 0 ELSE"
+                           " (caught_tokens * 1000) div seg_dup_tokens END")
+                    .alias("precision_millis")))
+
+
+def span_dedup_recall_report_sql(doc_rel: str = "documents",
+                                 n: int = SPAN_TOKENS, k: int | None = None,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """DuckDB dual of :func:`span_dedup_recall_report` (same hash60 keys)."""
+    from .segdedup import SEG_TOKENS
+
+    if k is None:
+        k = SEG_TOKENS
+    norm = normalize_sql(text_col)
+    h_g = hash60_sql("gram")
+    h_s = hash60_sql("seg")
+    return f"""
+WITH {_base_wins_ctes_sql(doc_rel, id_col, text_col, n)},
+wh AS (SELECT id, pos, {h_g} AS gh FROM wins),
+dupg AS (SELECT gh FROM wh GROUP BY gh HAVING COUNT(*) >= 2),
+exact_cov AS (SELECT DISTINCT id, p
+  FROM (SELECT id, pos FROM wh JOIN dupg USING (gh)) d,
+       UNNEST(generate_series(pos, pos + {n - 1})) AS c(p)),
+toks AS (SELECT {id_col} AS id, string_split({norm}, ' ') AS stk
+         FROM {doc_rel}),
+segs AS (SELECT id, s - 1 AS pos,
+                array_to_string(stk[(s - 1) * {k} + 1 : s * {k}], ' ') AS seg
+  FROM toks, UNNEST(generate_series(1, (len(stk) + {k - 1}) // {k})) AS g(s)),
+segh AS (SELECT id, pos, {h_s} AS sh,
+                len(string_split(seg, ' ')) AS sl FROM segs),
+dups AS (SELECT sh FROM segh GROUP BY sh HAVING COUNT(*) >= 2),
+seg_cov AS (SELECT id, p
+  FROM (SELECT id, pos, sl FROM segh JOIN dups USING (sh)) d,
+       UNNEST(generate_series(pos * {k}, pos * {k} + sl - 1)) AS c(p)),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_dup_tokens FROM exact_cov),
+sg AS (SELECT CAST(COUNT(*) AS BIGINT) AS seg_dup_tokens FROM seg_cov),
+ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS caught_tokens
+       FROM exact_cov JOIN seg_cov USING (id, p))
+SELECT exact_dup_tokens, seg_dup_tokens, caught_tokens,
+       CASE WHEN exact_dup_tokens = 0 THEN 0
+            ELSE (caught_tokens * 1000) // exact_dup_tokens END
+         AS recall_millis,
+       CASE WHEN seg_dup_tokens = 0 THEN 0
+            ELSE (caught_tokens * 1000) // seg_dup_tokens END
+         AS precision_millis
+FROM ex, sg, ct"""
+
+
 # -------------------------------------------------------- duplication spectrum
 SPECTRUM_LENGTHS = (4, 8, 16, 32)
 

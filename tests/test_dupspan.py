@@ -132,3 +132,34 @@ def test_dup_decision_shuffles_hash_not_text(spark):
             assert "gram" not in m.group(1), m.group(0)
         # the gh-keyed exchanges must exist (the decision IS shuffled)
         assert re.search(r"Exchange hashpartitioning\(gh", plan)
+
+
+def test_span_dedup_recall_report_hand_case(spark):
+    """Aligned duplication is caught (recall contribution); off-alignment
+    duplication inside segments is missed — the loss the report measures."""
+    # two docs sharing an identical 12-token prefix (aligned segment dup
+    # AND exact 8-gram dup), plus unique tails long enough to avoid other
+    # dup windows
+    shared = " ".join(f"s{i}" for i in range(12))
+    t1 = shared + " " + " ".join(f"a{i}" for i in range(12))
+    t2 = shared + " " + " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame([(1, t1), (2, t2)],
+                                 "doc_id long, text string")
+    r = dupspan.span_dedup_recall_report(docs, n=8, k=12).collect()[0]
+    # exact coverage: the shared 12 tokens in each doc = 24; the 8-windows
+    # spanning into the tails differ between docs, so exactly 24
+    assert r.exact_dup_tokens == 24
+    # segment dedup at k=12: segment 0 of both docs is `shared` -> dup;
+    # covers 12 tokens per doc = 24; fully inside the exact coverage
+    assert r.seg_dup_tokens == 24
+    assert r.caught_tokens == 24
+    assert r.recall_millis == 1000 and r.precision_millis == 1000
+    # now shift doc 2's copy by one token: segments no longer align ->
+    # segment dedup catches nothing, exact coverage persists
+    t3 = "x0 " + shared + " " + " ".join(f"c{i}" for i in range(11))
+    docs2 = spark.createDataFrame([(1, t1), (2, t3)],
+                                  "doc_id long, text string")
+    r2 = dupspan.span_dedup_recall_report(docs2, n=8, k=12).collect()[0]
+    assert r2.exact_dup_tokens == 24
+    assert r2.seg_dup_tokens == 0 and r2.caught_tokens == 0
+    assert r2.recall_millis == 0
