@@ -76,21 +76,34 @@ def _grams_sql(norm: str) -> str:
 
 
 _BUCKET = f"pmod(conv(substring(md5(gram), 1, 15), 16, 10), {NB})"
+# xxhash64 fast path: one JVM codegen hash per occurrence instead of md5's
+# digest + hex-string conv — the hot-path option for production runs where
+# the scorer need not replay in DuckDB (xxhash64 has no DuckDB dual; any
+# uniform bucket hash yields a statistically equivalent DSIR model, and
+# the fixture-equivalence pytest pins how close the selections land).
+_BUCKET_XX = f"pmod(xxhash64(gram), {NB})"
 _BITS = (f"CAST(length(bin((({{tot}} + {NB}) * {1 << SURP_SHIFT}) "
          f"div ({{cnt}} + 1))) - 1 AS BIGINT)")
 
 
 def dsir_importance(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    bucket_hash: str = "md5") -> DataFrame:
     """Per-doc DSIR importance: (doc_id, is_target, n_grams,
     importance_bits, selected). Docs with no grams are absent (their bag is
-    empty — nothing to score, same as the oracle)."""
+    empty — nothing to score, same as the oracle).
+
+    ``bucket_hash``: "md5" (default — bit-replayable in the DuckDB oracle)
+    or "xxhash64" (fast path, same plan shape; see _BUCKET_XX)."""
+    if bucket_hash not in ("md5", "xxhash64"):
+        raise ValueError("bucket_hash must be 'md5' or 'xxhash64'")
+    bucket = _BUCKET if bucket_hash == "md5" else _BUCKET_XX
     grams = (docs
              .withColumn("_norm", normalize_col(F.col(text_col)))
              .select(F.col(id_col),
                      (F.col(id_col) % TARGET_MOD == 0).alias("is_target"),
                      F.explode(F.expr(_grams_expr("_norm"))).alias("gram"))
-             .withColumn("bucket", F.expr(_BUCKET).cast("long")))
+             .withColumn("bucket", F.expr(bucket).cast("long")))
     # per-bucket occurrence counts for both distributions in one pass;
     # the NB-row dim then takes its totals from a window over itself
     # (<= NB rows — a constant-size single partition, not a corpus window)
