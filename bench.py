@@ -79,11 +79,27 @@ def main() -> None:
     n_groups = zone_tile_language_mix(pages).count()  # warmup, untimed
     membw_pre = _membw_gbps()
     cpu0 = _cpu_sample()
-    trials = []
-    for _ in range(5):
+    # steal-gated trials (round-4 verdict #7): the r4 median absorbed two
+    # 4-second host-noise trials. Measure /proc/stat steal around EACH
+    # trial; a trial with >= 1% steal is recorded but NOT kept — rerun
+    # until 5 clean trials (cap 12 attempts; if the whole window is dirty,
+    # fall back to all trials and say so in the artifact).
+    trials: list[float] = []
+    trial_log: list[dict] = []
+    while len(trials) < 5 and len(trial_log) < 12:
+        c0 = _cpu_sample()
         t0 = time.perf_counter()
         zone_tile_language_mix(pages).count()
-        trials.append(round(time.perf_counter() - t0, 3))
+        sec = round(time.perf_counter() - t0, 3)
+        c1 = _cpu_sample()
+        steal = round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2)
+        clean = steal < 1.0
+        trial_log.append({"sec": sec, "steal_pct": steal, "clean": clean})
+        if clean:
+            trials.append(sec)
+    degraded = len(trials) < 3
+    if degraded:  # hopelessly noisy window — report it, don't hide it
+        trials = [t["sec"] for t in trial_log]
     cpu1 = _cpu_sample()
     membw_post = _membw_gbps()
     host = {
@@ -91,10 +107,13 @@ def main() -> None:
                                     / max(1, cpu1[0] - cpu0[0]), 2),
         "membw_gbps_pre": membw_pre,
         "membw_gbps_post": membw_post,
+        "headline_trial_log": trial_log,
+        "headline_clean_trials": sum(1 for t in trial_log if t["clean"]),
+        "headline_window_degraded": degraded,
     }
     pipeline_sec = sorted(trials)[len(trials) // 2]
-    print(f"# synth_pipeline: median {pipeline_sec:.2f}s of {trials}, "
-          f"{n_groups} groups", file=sys.stderr)
+    print(f"# synth_pipeline: median {pipeline_sec:.2f}s of {trials} "
+          f"(log {trial_log}), {n_groups} groups", file=sys.stderr)
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
