@@ -58,6 +58,9 @@ from geoclimate_spark.operators import cdc as cdc_op
 from geoclimate_spark.operators import phrase as phrase_op
 from geoclimate_spark.operators import audio as audio_op
 from geoclimate_spark.operators import textfold as textfold_op
+from geoclimate_spark.operators import codeswitch as codeswitch_op
+from geoclimate_spark.operators import drift as drift_op
+from geoclimate_spark.operators import postings as postings_op
 from geoclimate_spark.sources import assembly, media
 from geoclimate_spark.sources import warc as warc_src
 from geoclimate_spark.sources import geojson as geojson_src
@@ -213,6 +216,27 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-token window repeated anywhere in the corpus marks its positions;
     per-doc interval-union coverage fraction and the span-trimmed text."""
     return dupspan.duplicate_spans(_docs(spark, sf_dir))
+
+
+def _q_posting_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index storage planner (r5): per-term Elias-gamma delta-gap
+    posting costs, top-50 most expensive lists — the stop/cap/impact-sort
+    diagnostic an index shard planner reads before building at scale."""
+    return postings_op.posting_size_plan(_docs(spark, sf_dir))
+
+
+def _q_token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (r5): integer-bits cross-entropy drift between
+    crawl batches over 4096 hashed unigram buckets — the stationarity
+    check run before mixing a new crawl into training data."""
+    return drift_op.token_drift_report(_docs(spark, sf_dir))
+
+
+def _q_code_switch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching report (r5): non-overlapping 16-token chunks
+    classified against the langid profiles; per-doc majority share and
+    switch score — the mixing measurement per-language curation needs."""
+    return codeswitch_op.code_switch_scores(_docs(spark, sf_dir))
 
 
 def _q_span_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2248,6 +2272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkb_reprojected_metrics": _q_wkb_reprojected_metrics,  # CRS front door (r5)
         "geojson_zone_layer_cover": _q_geojson_layer_cover,  # GeoJSON reader (r5)
         "span_dedup_recall_report": _q_span_dedup_recall,  # threshold audit (r5)
+        "posting_size_plan": _q_posting_size_plan,    # index storage plan (r5)
+        "token_drift_report": _q_token_drift_report,  # corpus drift (r5)
+        "code_switch_scores": _q_code_switch_scores,  # language mixing (r5)
         # -- block 2: no round-2 CORRECTNESS row (r1-pass or never checked) --
         "event_props_rollup": _q_event_props_rollup,  # last signal: r1 FAIL
         "event_interval_join": _q_event_interval_join,  # + empty-iv fix (r3)
@@ -2552,6 +2579,9 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": segdedup.segment_dedup_sql(),
         "duplicate_spans": dupspan.duplicate_spans_sql(),
         "span_dedup_recall_report": dupspan.span_dedup_recall_report_sql(),
+        "posting_size_plan": postings_op.posting_size_plan_sql(),
+        "token_drift_report": drift_op.token_drift_report_sql(),
+        "code_switch_scores": codeswitch_op.code_switch_scores_sql(),
         "decontaminate_trim": dupspan.decontaminate_trim_sql(),
         "bloom_blocklist_curation": bloom.bloom_blocklist_filter_sql(
             BLOOM_BAN_MOD),
