@@ -88,7 +88,10 @@ def cdc_chunks(docs: DataFrame, mask_bits: int = MASK_BITS,
                 # per-character Python. Gear lookup is Python only per
                 # DISTINCT codepoint (md5 table build, cached across the
                 # batch); the per-position map is a searchsorted gather.
-                cps = np.frombuffer(t.encode("utf-32-le"),
+                # surrogatepass keeps the old ord()-path contract: lone
+                # surrogates (surrogateescape-decoded data) hash instead
+                # of killing the batch with UnicodeEncodeError
+                cps = np.frombuffer(t.encode("utf-32-le", "surrogatepass"),
                                     dtype=np.uint32).astype(np.int64)
                 uniq = np.unique(cps)
                 for cp in uniq:

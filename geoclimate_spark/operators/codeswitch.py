@@ -44,10 +44,14 @@ def code_switch_scores(docs: DataFrame, id_col: str = "doc_id",
     """Per-document chunk-level language mixing report (see module doc)."""
     profiles = lang_profiles(docs, id_col, text_col, lang_col,
                              n_top, train_mod)
+    # persist: the chunk subtree feeds both the bigram explode and the
+    # per-chunk spine — without it the normalize/split/chunk-explode scan
+    # (the most expensive projection) runs twice
     chunks = (chunk_documents(docs, window=window, stride=window,
                               id_col=id_col, text_col=text_col)
               .select("doc_id", "chunk_id",
-                      F.col("chunk_text").alias("_norm")))
+                      F.col("chunk_text").alias("_norm"))
+              .persist())
     grams = chunks.select("doc_id", "chunk_id",
                           F.explode(bigrams_col("_norm")).alias("bigram"))
     scores = (grams.join(F.broadcast(profiles), "bigram")

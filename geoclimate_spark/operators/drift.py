@@ -58,6 +58,8 @@ def token_drift_report(docs: DataFrame, id_col: str = "doc_id",
                        n_batches: int = N_BATCHES) -> DataFrame:
     """All ordered batch pairs: (batch_a, batch_b, n_tokens_a, n_tokens_b,
     drift_bits, drift_millibits_per_token)."""
+    if int(n_batches) < 2:
+        raise ValueError("n_batches must be >= 2 (drift needs a pair)")
     words = (docs
              .withColumn("_norm", normalize_col(F.col(text_col)))
              .where(F.col("_norm") != "")
@@ -101,6 +103,9 @@ def token_drift_report_sql(doc_rel: str = "documents",
                            n_batches: int = N_BATCHES) -> str:
     """DuckDB dual of :func:`token_drift_report`."""
     from ..functions.hashing import hash60_sql
+
+    if int(n_batches) < 2:
+        raise ValueError("n_batches must be >= 2 (drift needs a pair)")
 
     norm = normalize_sql(text_col)
     bucket = _BUCKET_SQL_T.format(h=hash60_sql("u.word"))

@@ -292,11 +292,17 @@ def span_dedup_recall_report(docs: DataFrame, n: int = SPAN_TOKENS,
           .select("id", "pos", hash60_col(F.col("gram")).alias("gh")))
     dupg = (wh.groupBy("gh").agg(F.count("*").alias("_c"))
             .where(F.col("_c") >= 2).select("gh"))
+    # persist both coverage sets: each feeds its own count AND the
+    # intersection join — without it the window/segment explodes run twice
     exact_cov = (wh.join(dupg, "gh")
                  .select("id", F.explode(
                      F.expr(f"sequence(pos, pos + {n - 1})")).alias("p"))
-                 .distinct())
+                 .distinct().persist())
+    # zero-token docs normalize to '' whose segment list is [''] — exclude
+    # the empty segment so token-less docs never contribute phantom
+    # "duplicated tokens" (position 0 of a doc with no tokens)
     seg = (_segments(docs, id_col, text_col, k)
+           .where(F.col("seg") != "")
            .select("id", "pos", hash60_col(F.col("seg")).alias("sh"),
                    F.size(F.split("seg", " ")).alias("_sl")))
     dups = (seg.groupBy("sh").agg(F.count("*").alias("_c"))
@@ -304,7 +310,8 @@ def span_dedup_recall_report(docs: DataFrame, n: int = SPAN_TOKENS,
     # segments are disjoint by construction — no distinct needed
     seg_cov = (seg.join(dups, "sh")
                .select("id", F.explode(F.expr(
-                   f"sequence(pos * {k}, pos * {k} + _sl - 1)")).alias("p")))
+                   f"sequence(pos * {k}, pos * {k} + _sl - 1)")).alias("p"))
+               .persist())
     ex = exact_cov.agg(F.count("*").cast("long").alias("exact_dup_tokens"))
     sg = seg_cov.agg(F.count("*").cast("long").alias("seg_dup_tokens"))
     ct = (exact_cov.join(seg_cov, ["id", "p"])
@@ -344,7 +351,8 @@ segs AS (SELECT id, s - 1 AS pos,
                 array_to_string(stk[(s - 1) * {k} + 1 : s * {k}], ' ') AS seg
   FROM toks, UNNEST(generate_series(1, (len(stk) + {k - 1}) // {k})) AS g(s)),
 segh AS (SELECT id, pos, {h_s} AS sh,
-                len(string_split(seg, ' ')) AS sl FROM segs),
+                len(string_split(seg, ' ')) AS sl FROM segs
+         WHERE seg <> ''),
 dups AS (SELECT sh FROM segh GROUP BY sh HAVING COUNT(*) >= 2),
 seg_cov AS (SELECT id, p
   FROM (SELECT id, pos, sl FROM segh JOIN dups USING (sh)) d,

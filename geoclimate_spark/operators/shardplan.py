@@ -98,11 +98,16 @@ def range_partition_plan(docs: DataFrame, n_buckets: int = 8,
     if int(n_buckets) < 1:
         raise ValueError("n_buckets must be >= 1")
     if int(n_buckets) == 1:
-        # Degenerate single-bucket plan: no boundaries, one rollup.
-        return (docs.groupBy(F.lit(0).cast("long").alias("bucket"))
-                .agg(F.min(F.col(value_col).cast("long")).alias("lo_value"),
-                     F.max(F.col(value_col).cast("long")).alias("hi_value"),
-                     F.count("*").cast("long").alias("n_docs")))
+        # Degenerate single-bucket plan: no boundaries, one rollup. An
+        # UNGROUPED aggregate (always exactly one row, even on empty
+        # input) — matching the SQL dual's aggregate-without-GROUP-BY.
+        return (docs.agg(F.min(F.col(value_col).cast("long"))
+                         .alias("lo_value"),
+                         F.max(F.col(value_col).cast("long"))
+                         .alias("hi_value"),
+                         F.count("*").cast("long").alias("n_docs"))
+                .select(F.lit(0).cast("long").alias("bucket"),
+                        "lo_value", "hi_value", "n_docs"))
     vc = (docs.select(F.col(value_col).cast("long").alias("v"))
           .groupBy("v").agg(F.count("*").alias("c")))
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import layers
-from .wkb import equirect_scales, synth_multipoly_rows
+from .wkb import _lcg, equirect_scales, synth_multipoly_rows
 
 _POLY_COORDS = "array<array<array<double>>>"
 _MPOLY_COORDS = "array<array<array<array<double>>>>"
@@ -86,10 +86,6 @@ def feature_vertices(feats: DataFrame, id_col: str = "feat_id",
 
 
 # ---------------------------------------------------------------- fixtures
-def _lcg(s: int) -> int:
-    return (s * 48_271 + 11) % 2_147_483_647
-
-
 def _feature_json(fid: int, gtype: str, coords, properties: dict) -> str:
     return json.dumps({
         "type": "Feature", "id": fid, "properties": properties,

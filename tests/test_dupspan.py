@@ -163,3 +163,17 @@ def test_span_dedup_recall_report_hand_case(spark):
     assert r2.exact_dup_tokens == 24
     assert r2.seg_dup_tokens == 0 and r2.caught_tokens == 0
     assert r2.recall_millis == 0
+
+
+def test_span_recall_ignores_empty_docs(spark):
+    """Repeated empty-normalized docs must NOT contribute phantom
+    duplicated segment tokens (they have zero tokens)."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    t1 = shared + " " + " ".join(f"a{i}" for i in range(12))
+    t2 = shared + " " + " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, ""), (4, "   "), (5, "")],
+        "doc_id long, text string")
+    r = dupspan.span_dedup_recall_report(docs, n=8, k=12).collect()[0]
+    assert r.seg_dup_tokens == 24  # unchanged by the three empty docs
+    assert r.exact_dup_tokens == 24 and r.caught_tokens == 24

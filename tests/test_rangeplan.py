@@ -89,3 +89,17 @@ def test_zero_buckets_raises(spark):
         SP.range_partition_plan(df, n_buckets=0)
     with _pt.raises(ValueError):
         SP.range_partition_plan_sql(0)
+
+
+def test_single_bucket_empty_input_parity(spark, duck):
+    """k=1 on EMPTY input must emit exactly one (0, NULL, NULL, 0) row on
+    BOTH engines (ungrouped aggregate semantics)."""
+    df = spark.createDataFrame([], SCHEMA)
+    rows = SP.range_partition_plan(df, n_buckets=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.bucket, r.lo_value, r.hi_value, r.n_docs) == (0, None, None, 0)
+    duck.execute("create or replace view _rpe as "
+                 "select 1::bigint doc_id, 1::bigint n_chars where 1=0")
+    got = duck.execute(SP.range_partition_plan_sql(1, "_rpe")).fetchall()
+    assert got == [(0, None, None, 0)]

@@ -76,3 +76,68 @@ def test_code_switch_plan_broadcasts_profiles(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def _duck_with_docs(rows, cols="doc_id BIGINT, text VARCHAR"):
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE documents ({cols})")
+    con.executemany(
+        "INSERT INTO documents VALUES (" + ", ".join("?" * (cols.count(",") + 1)) + ")",
+        rows)
+    return con
+
+
+def _parity(spark_df, con, sql):
+    import numpy as np
+    a = spark_df.toPandas()
+    b = con.execute(sql).fetchdf()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        if a[c].dtype == object:
+            assert (a[c].values == b[c].values).all(), c
+        else:
+            av = a[c].to_numpy(dtype="float64", na_value=np.nan)
+            bv = b[c].to_numpy(dtype="float64", na_value=np.nan)
+            assert np.array_equal(av, bv, equal_nan=True), c
+
+
+def test_posting_plan_duckdb_parity(spark):
+    rows = [(i, f"w{i % 7} shared tail{i % 3} x" * (1 + i % 2))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = _duck_with_docs(rows)
+    _parity(PO.posting_size_plan(df, topk=20), con,
+            PO.posting_size_plan_sql(topk=20))
+    con.close()
+
+
+def test_drift_duckdb_parity(spark):
+    rows = [(i, ("alpha beta" if i % 3 == 0 else "gamma delta") + f" t{i % 5}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = _duck_with_docs(rows)
+    _parity(DR.token_drift_report(df), con, DR.token_drift_report_sql())
+    con.close()
+
+
+def test_code_switch_duckdb_parity(spark):
+    aa, bb = " ".join(["aaa"] * 16), " ".join(["bbb"] * 16)
+    rows = [(i, aa if i % 2 == 0 else bb, "aa" if i % 2 == 0 else "bb")
+            for i in range(12)] + [(12, aa + " " + bb, "aa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    con = _duck_with_docs(rows,
+                          "doc_id BIGINT, text VARCHAR, lang VARCHAR")
+    _parity(CS.code_switch_scores(df), con, CS.code_switch_scores_sql())
+    con.close()
+
+
+def test_drift_rejects_single_batch(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        DR.token_drift_report(df, n_batches=1)
+    with pytest.raises(ValueError):
+        DR.token_drift_report_sql(n_batches=1)
