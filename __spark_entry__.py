@@ -59,6 +59,7 @@ from geoclimate_spark.operators import phrase as phrase_op
 from geoclimate_spark.operators import audio as audio_op
 from geoclimate_spark.operators import textfold as textfold_op
 from geoclimate_spark.operators import codeswitch as codeswitch_op
+from geoclimate_spark.operators import dedupfunnel as dedupfunnel_op
 from geoclimate_spark.operators import drift as drift_op
 from geoclimate_spark.operators import postings as postings_op
 from geoclimate_spark.sources import assembly, media
@@ -216,6 +217,20 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-token window repeated anywhere in the corpus marks its positions;
     per-doc interval-union coverage fraction and the span-trimmed text."""
     return dupspan.duplicate_spans(_docs(spark, sf_dir))
+
+
+def _q_dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cost-benefit funnel (r5): docs/tokens each stage alone would
+    keep (raw / exact / segment / span) with token-removal millis vs raw
+    — the budget dashboard read before committing a dedup recipe."""
+    return dedupfunnel_op.dedup_funnel_report(_docs(spark, sf_dir))
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (r5): chars/token and tokens/word
+    under the frozen merge table — the metric that says which languages
+    the tokenizer under-serves (inflated sequence lengths)."""
+    return bpeencode.tokenizer_fertility(_docs(spark, sf_dir))
 
 
 def _q_posting_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2275,6 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_size_plan": _q_posting_size_plan,    # index storage plan (r5)
         "token_drift_report": _q_token_drift_report,  # corpus drift (r5)
         "code_switch_scores": _q_code_switch_scores,  # language mixing (r5)
+        "tokenizer_fertility": _q_tokenizer_fertility,  # chars/token by lang (r5)
+        "dedup_funnel_report": _q_dedup_funnel_report,  # stage cost-benefit (r5)
         # -- block 2: no round-2 CORRECTNESS row (r1-pass or never checked) --
         "event_props_rollup": _q_event_props_rollup,  # last signal: r1 FAIL
         "event_interval_join": _q_event_interval_join,  # + empty-iv fix (r3)
@@ -2582,6 +2599,8 @@ def oracle_sql() -> dict[str, str]:
         "posting_size_plan": postings_op.posting_size_plan_sql(),
         "token_drift_report": drift_op.token_drift_report_sql(),
         "code_switch_scores": codeswitch_op.code_switch_scores_sql(),
+        "tokenizer_fertility": bpeencode.tokenizer_fertility_sql(),
+        "dedup_funnel_report": dedupfunnel_op.dedup_funnel_report_sql(),
         "decontaminate_trim": dupspan.decontaminate_trim_sql(),
         "bloom_blocklist_curation": bloom.bloom_blocklist_filter_sql(
             BLOOM_BAN_MOD),

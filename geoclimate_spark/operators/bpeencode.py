@@ -121,6 +121,42 @@ def corpus_token_budget(stats: DataFrame, by: DataFrame,
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
+def tokenizer_fertility(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", lang_col: str = "lang",
+                        merges: list[tuple[str, str]] = MERGES) -> DataFrame:
+    """Per-language tokenizer fertility — the standard tokenizer-evaluation
+    metric (chars per token / tokens per word, cf. the XLM-R and BLOOM
+    tokenizer analyses): languages the merge table under-serves show low
+    chars-per-token (near-character fallback) and high tokens-per-word,
+    which inflates their effective sequence lengths and training cost.
+    One row per lang: (lang, n_docs, total_words, total_chars,
+    total_tokens, chars_per_token_milli, tokens_per_word_milli) — exact
+    int64 ratios in millis, zero-guarded.
+
+    Scale: the encode is the shuffle-free codegen pass of
+    :func:`bpe_encode_stats`; the lang join is on the id key the stats
+    already carry (at rest both sides share partitioning); ONE map-side
+    combinable groupBy(lang) ends the plan."""
+    stats = bpe_encode_stats(docs, id_col=id_col, text_col=text_col,
+                             merges=merges)
+    by = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    return (stats.join(by, id_col)
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("total_words"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"))
+            .selectExpr(
+                "lang", "n_docs", "total_words", "total_chars",
+                "total_tokens",
+                "CASE WHEN total_tokens = 0 THEN 0 ELSE"
+                " (total_chars * 1000) div total_tokens END"
+                " AS chars_per_token_milli",
+                "CASE WHEN total_words = 0 THEN 0 ELSE"
+                " (total_tokens * 1000) div total_words END"
+                " AS tokens_per_word_milli"))
+
+
 def token_length_histogram(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            merges: list[tuple[str, str]] = MERGES) -> DataFrame:
@@ -181,6 +217,32 @@ SELECT {id_col},
        {_count_symbols_sql('_sym')} AS n_chars,
        {_count_symbols_sql(_apply_merges_sql('_sym', merges))} AS n_tokens
 FROM s"""
+
+
+def tokenizer_fertility_sql(doc_rel: str = "documents",
+                            id_col: str = "doc_id", text_col: str = "text",
+                            lang_col: str = "lang",
+                            merges: list[tuple[str, str]] = MERGES) -> str:
+    """DuckDB dual of :func:`tokenizer_fertility`."""
+    enc = bpe_encode_sql(doc_rel=doc_rel, id_col=id_col, text_col=text_col,
+                         merges=merges)
+    return f"""
+WITH enc AS ({enc}),
+agg AS (
+  SELECT d.{lang_col} AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(e.n_words) AS BIGINT) AS total_words,
+         CAST(SUM(e.n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(e.n_tokens) AS BIGINT) AS total_tokens
+  FROM enc e JOIN {doc_rel} d ON e.{id_col} = d.{id_col}
+  GROUP BY 1)
+SELECT lang, n_docs, total_words, total_chars, total_tokens,
+       CASE WHEN total_tokens = 0 THEN 0
+            ELSE (total_chars * 1000) // total_tokens END
+         AS chars_per_token_milli,
+       CASE WHEN total_words = 0 THEN 0
+            ELSE (total_tokens * 1000) // total_words END
+         AS tokens_per_word_milli
+FROM agg"""
 
 
 def token_length_histogram_sql(doc_rel: str = "documents",
